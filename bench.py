@@ -1,0 +1,79 @@
+"""Benchmark: Gram path-pairs/sec, forward + backward (adjoint), on one chip.
+
+Headline config from BASELINE.json: length 1024, dyadic_order 1
+(refined grid 2046 x 2046), float64, RBF static kernel. The reference's CUDA
+backend cannot run this config at all (hard ``max(MM+1, NN+1) < 1024`` thread
+assert, reference sigkernel/sigkernel.py:222), so ``vs_baseline`` is measured
+against a *generous* roofline model of a hypothetical fixed A100 kernel:
+
+    42 MFLOP-f64/pair/solve, A100 9.7 TFLOP/s f64, 3 solves per fwd+bwd,
+    ~25% wavefront efficiency  ->  ~19,000 pairs/s fwd+bwd.
+
+(The actually-shipped numba kernel re-reads HBM every diagonal and would be
+far slower even at legal sizes.) Prints one JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("JAX_ENABLE_X64", "true")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_MODEL_PAIRS_PER_S = 19000.0
+
+LENGTH = 1024
+DYADIC = 1
+DIM = 3
+PAIRS_A = 4
+PAIRS_B = 4
+DTYPE = "float64"
+
+
+def main():
+    import sigkernel_tpu as sk
+
+    jax.config.update("jax_enable_x64", True)
+    rng = np.random.default_rng(0)
+    dtype = jnp.dtype(DTYPE)
+    X = jnp.asarray(rng.normal(size=(PAIRS_A, LENGTH, DIM)).cumsum(axis=1)
+                    * (1.0 / np.sqrt(LENGTH)), dtype=dtype)
+    Y = jnp.asarray(rng.normal(size=(PAIRS_B, LENGTH, DIM)).cumsum(axis=1)
+                    * (1.0 / np.sqrt(LENGTH)), dtype=dtype)
+    kernel = sk.RBFKernel(1.0)
+
+    def fwd_bwd(X, Y):
+        def loss(x):
+            K = sk.sig_gram(kernel, x, Y, dyadic_order=DYADIC, max_batch=None)
+            return K.sum()
+        return jax.value_and_grad(loss)(X)
+
+    step = jax.jit(fwd_bwd)
+
+    # warmup / compile
+    v, g = step(X, Y)
+    v.block_until_ready()
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        v, g = step(X, Y)
+    jax.block_until_ready((v, g))
+    dt = (time.perf_counter() - t0) / n_iters
+
+    pairs = PAIRS_A * PAIRS_B
+    pairs_per_s = pairs / dt
+    print(json.dumps({
+        "metric": "gram_pairs_per_sec_fwd_bwd_len1024_dyadic1_f64",
+        "value": round(pairs_per_s, 3),
+        "unit": "path-pairs/s",
+        "vs_baseline": round(pairs_per_s / A100_MODEL_PAIRS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

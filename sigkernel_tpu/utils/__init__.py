@@ -1,0 +1,53 @@
+"""Small shape/grid utilities shared across the library.
+
+TPU-first replacements for the reference's grid helpers
+(``flip``/``tile`` at reference sigkernel/sigkernel.py:599-613): dyadic
+refinement is a plain ``jnp.repeat``; no interleave gymnastics are needed.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def double_difference(G: jnp.ndarray) -> jnp.ndarray:
+    """Second-order mixed finite difference over the last two axes.
+
+    ``dd[..., i, j] = G[i+1,j+1] + G[i,j] - G[i+1,j] - G[i,j+1]``
+
+    This is the discrete ``\\partial_s \\partial_t k(x_s, y_t)`` increment grid
+    feeding the Goursat PDE solver (reference sigkernel/sigkernel.py:217,363).
+    Input ``(..., M, N)`` -> output ``(..., M-1, N-1)``.
+    """
+    return (
+        G[..., 1:, 1:] + G[..., :-1, :-1] - G[..., 1:, :-1] - G[..., :-1, 1:]
+    )
+
+
+def dyadic_refine(dd: jnp.ndarray, dyadic_order: int) -> jnp.ndarray:
+    """Dyadic grid refinement of an increment grid.
+
+    Each cell is split into ``2^d x 2^d`` sub-cells, each carrying
+    ``1/4^d`` of the original increment (reference sigkernel/sigkernel.py:218,
+    364 via ``tile``; here a single ``jnp.repeat`` per axis).
+    """
+    if dyadic_order == 0:
+        return dd
+    f = 2 ** dyadic_order
+    dd = jnp.repeat(dd, f, axis=-2)
+    dd = jnp.repeat(dd, f, axis=-1)
+    return dd / jnp.asarray(f * f, dd.dtype)
+
+
+def increment_grid(G: jnp.ndarray, dyadic_order: int) -> jnp.ndarray:
+    """Static-kernel Gram -> dyadically refined PDE increment grid."""
+    return dyadic_refine(double_difference(G), dyadic_order)
+
+
+def refined_size(length: int, dyadic_order: int) -> int:
+    """Number of increment cells along one axis: ``2^d * (length - 1)``."""
+    return (2 ** dyadic_order) * (length - 1)
+
+
+def ceil_to(x: int, m: int) -> int:
+    """Round ``x`` up to a multiple of ``m``."""
+    return -(-x // m) * m

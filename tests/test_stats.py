@@ -1,0 +1,52 @@
+"""Hypothesis test + SigCHSIC tests."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import sigkernel_tpu as sk
+
+from conftest import make_paths
+
+
+def test_c_alpha():
+    np.testing.assert_allclose(sk.c_alpha(100, 0.99),
+                               4.0 * np.sqrt(-np.log(0.99) / 100))
+
+
+def test_hypothesis_test_same_distribution(rng):
+    X = jnp.asarray(make_paths(rng, 10, 8, 2))
+    Y = jnp.asarray(make_paths(rng, 10, 8, 2))
+    rejected, stat, c = sk.hypothesis_test(X, Y, sk.RBFKernel(1.0),
+                                           verbose=False)
+    assert not rejected  # same generator, should accept
+    assert np.isfinite(float(stat)) and c > 0
+
+
+def test_hypothesis_test_different_distribution(rng):
+    X = jnp.asarray(make_paths(rng, 12, 8, 2, scale=0.2))
+    Y = jnp.asarray(make_paths(rng, 12, 8, 2, scale=3.0))
+    rejected, stat, c = sk.hypothesis_test(X, Y, sk.RBFKernel(1.0),
+                                           verbose=False)
+    assert float(stat) > 0
+
+
+def test_sig_chsic_runs(rng):
+    X = jnp.asarray(make_paths(rng, 6, 6, 2))
+    Y = jnp.asarray(make_paths(rng, 6, 6, 2))
+    Z = jnp.asarray(make_paths(rng, 6, 6, 2))
+    v = sk.sig_chsic(X, Y, Z, sk.RBFKernel(1.0), dyadic_order=0)
+    assert np.isfinite(float(v))
+    # alias parity with the reference name
+    v2 = sk.SigCHSIC(X, Y, Z, sk.RBFKernel(1.0), dyadic_order=0)
+    np.testing.assert_allclose(float(v), float(v2))
+
+
+def test_sig_chsic_detects_dependence(rng):
+    """CHSIC(X, X-copy | Z) should exceed CHSIC(X, indep | Z)."""
+    X = jnp.asarray(make_paths(rng, 8, 6, 2))
+    Z = jnp.asarray(make_paths(rng, 8, 6, 2))
+    W = jnp.asarray(make_paths(rng, 8, 6, 2))
+    k = sk.RBFKernel(1.0)
+    dep = float(sk.sig_chsic(X, X, Z, k, dyadic_order=0))
+    indep = float(sk.sig_chsic(X, W, Z, k, dyadic_order=0))
+    assert dep > indep

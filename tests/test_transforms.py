@@ -1,0 +1,99 @@
+"""Path transforms / preprocessing parity tests."""
+import numpy as np
+import pytest
+
+from sigkernel_tpu import transforms as T
+
+
+def test_addtime():
+    X = [np.arange(5.0).reshape(5, 1)]
+    out = T.AddTime().fit_transform(X)
+    assert out[0].shape == (5, 2)
+    np.testing.assert_allclose(out[0][:, 0], np.linspace(0, 1, 5))
+    np.testing.assert_allclose(out[0][:, 1], np.arange(5.0))
+
+
+def test_leadlag_structure():
+    x = np.array([1.0, 2.0, 3.0])
+    out = T.LeadLag().fit_transform([x])[0]
+    # rows: (1,1),(1,2),(2,2),(2,3),(3,3)
+    want = np.array([[1, 1], [1, 2], [2, 2], [2, 3], [3, 3]], dtype=float)
+    np.testing.assert_array_equal(out, want)
+
+
+def test_leadlag_multidim():
+    x = np.arange(8.0).reshape(4, 2)
+    out = T.LeadLag().fit_transform([x])[0]
+    assert out.shape == (7, 4)
+    np.testing.assert_array_equal(out[0], [0, 1, 0, 1])
+    np.testing.assert_array_equal(out[1], [0, 1, 2, 3])
+
+
+def test_reversion():
+    x = np.arange(4.0)
+    out = T.Reversion().fit_transform([x])[0]
+    np.testing.assert_array_equal(out, x[::-1])
+
+
+def test_transform_pipeline():
+    paths = np.random.default_rng(0).normal(size=(3, 6, 2))
+    out = T.transform(paths, at=True, ll=True, scale=0.5)
+    # lead-lag doubles dims and gives 2n-1 rows; add-time adds one channel
+    assert out.shape == (3, 11, 5)
+
+
+def test_dyadic_chunks():
+    x = np.arange(16.0).reshape(16, 1)
+    chunks = T.Dyadic(depth=2).fit_transform([x])[0]
+    assert len(chunks) == 4
+    # chunks overlap by one point
+    for a, b in zip(chunks[:-1], chunks[1:]):
+        np.testing.assert_array_equal(a[-1], b[0])
+
+
+def test_penoff():
+    x = np.random.default_rng(1).normal(size=(4, 2))
+    out = T.PenOff().fit_transform([x])[0]
+    assert out.shape == (6, 3)
+    np.testing.assert_array_equal(out[0], np.zeros(3))
+    assert out[-1, -1] == 0.0 and out[1, -1] == 1.0
+
+
+def test_brownian_shape():
+    rng = np.random.default_rng(2)
+    p = T.brownian(100, 3, rng=rng)
+    assert p.shape == (101, 3)
+    np.testing.assert_array_equal(p[0], np.zeros(3))
+
+
+def test_normalize_roundtrip():
+    width, depth = 2, 3
+    size = sum(width ** (k + 1) for k in range(depth))
+    sig = np.ones((1, size))
+    out = T.normalize(sig, width, depth)
+    # level k block scaled by (k+1)!
+    assert out[0][0] == 1.0  # 1! on level 1
+    lo = width * (width ** 1 - 1)
+    assert out[0][lo] == 2.0  # 2! on level 2
+    lo = width * (width ** 2 - 1)
+    assert out[0][lo] == 6.0  # 3! on level 3
+
+
+def test_truncated_sig_kernel_level1_linear():
+    """With num_levels=1 the kernel is sigma0 + sigma1 * <X, Y>_flat."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(3, 5, 2))
+    Y = rng.normal(size=(4, 5, 2))
+    K = T.truncated_sig_kernel(X, Y, num_levels=1)
+    want = 1.0 + np.einsum("apk,bqk->ab", X, Y)
+    np.testing.assert_allclose(K, want, rtol=1e-12)
+
+
+def test_truncated_sig_kernel_symmetry():
+    rng = np.random.default_rng(4)
+    X = rng.normal(size=(4, 6, 2)) * 0.5
+    K = T.truncated_sig_kernel(X, X, num_levels=4)
+    np.testing.assert_allclose(K, K.T, rtol=1e-10)
+    # PSD-ish: eigenvalues nonnegative up to roundoff
+    w = np.linalg.eigvalsh(K)
+    assert w.min() > -1e-8
