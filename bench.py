@@ -56,14 +56,20 @@ def main():
 
     # warmup / compile
     v, g = step(X, Y)
-    v.block_until_ready()
-
-    n_iters = 3
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        v, g = step(X, Y)
     jax.block_until_ready((v, g))
-    dt = (time.perf_counter() - t0) / n_iters
+
+    # fresh inputs each iteration so no cache/CSE shortcut can hide work
+    n_iters = 3
+    dts = []
+    for i in range(n_iters):
+        Xi = X * (1.0 + 1e-6 * (i + 1))
+        Yi = Y * (1.0 - 1e-6 * (i + 1))
+        jax.block_until_ready((Xi, Yi))
+        t0 = time.perf_counter()
+        v, g = step(Xi, Yi)
+        jax.block_until_ready((v, g))
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
 
     pairs = PAIRS_A * PAIRS_B
     pairs_per_s = pairs / dt

@@ -119,7 +119,7 @@ def cos_exp_kernel(x_y, n_freqs=5, sigma=1.0):
     return cos_term * jnp.exp(-(x_y ** 2) / jnp.asarray(sigma, x_y.dtype))
 
 
-def CEXP(X, n_freqs=20, sigma=jnp.sqrt(10.0)):
+def CEXP(X, n_freqs=20, sigma=3.1622776601683795):  # sqrt(10), ref default
     """Integral-operator lift induced by the cos-exp kernel.
 
     ``X``: ``(batch, length_t, length_x, dim)`` function values on [0, 1]

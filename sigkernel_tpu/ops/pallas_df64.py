@@ -1,0 +1,347 @@
+"""Double-double ("two-float") Pallas wavefront solver: f64-grade precision
+on a TPU whose Mosaic compiler has no native float64.
+
+Each PDE value is carried as an unevaluated sum ``hi + lo`` of two float32s
+(~49-bit effective mantissa, unit roundoff ~2^-49 = 1.8e-15), using
+error-free transformations:
+
+- ``two_sum`` (Knuth) -- exact addition error, add/sub only (safe under any
+  FMA contraction);
+- ``two_prod`` via Veltkamp splitting (Dekker) -- the partial products of
+  12-bit halves are exact in f32, so the algorithm is correct whether or not
+  the compiler contracts to FMA.
+
+Over the ~4k sequential wavefront steps of the benchmark grid the accumulated
+error stays ~1e-12 relative, meeting the 1e-10 rtol target against the f64
+oracle while running on the f32 VPU (~15x the plain-f32 op count instead of
+XLA's much slower integer-emulated f64).
+
+Structure mirrors :mod:`sigkernel_tpu.ops.pallas_solver` (same skewed
+streaming, ping-pong state, batched DMA); inputs/outputs are split/combined
+hi/lo pairs in XLA.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_solver import LANES, SUBLANES, MAX_ROWS, _pad_skew, _ix
+from ..utils import ceil_to
+
+DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
+
+
+def supported(inc: jnp.ndarray) -> bool:
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    if inc.dtype != jnp.float64:
+        return False
+    MM, NN = inc.shape[-2], inc.shape[-1]
+    if MM == 0 or NN == 0:
+        return False
+    return MM + 1 <= MAX_ROWS
+
+
+# ---------------------------------------------------------------------------
+# Error-free transformations (element-wise on f32 arrays)
+# ---------------------------------------------------------------------------
+
+def _two_sum(a, b):
+    s = a + b
+    bb = s - a
+    return s, (a - (s - bb)) + (b - bb)
+
+
+def _quick_two_sum(a, b):
+    s = a + b
+    return s, b - (s - a)
+
+
+def _split(a):
+    c = jnp.float32(4097.0) * a  # 2^12 + 1 for f32 (24-bit mantissa)
+    hi = c - (c - a)
+    return hi, a - hi
+
+
+def _two_prod(a, b):
+    p = a * b
+    ah, al = _split(a)
+    bh, bl = _split(b)
+    err = ((ah * bh - p) + ah * bl + al * bh) + al * bl
+    return p, err
+
+
+def _df_add(xh, xl, yh, yl):
+    s, e = _two_sum(xh, yh)
+    return _quick_two_sum(s, e + (xl + yl))
+
+
+def _df_mul(xh, xl, yh, yl):
+    p, e = _two_prod(xh, yh)
+    return _quick_two_sum(p, e + (xh * yl + xl * yh))
+
+
+def _df_neg(xh, xl):
+    return -xh, -xl
+
+
+def _df_const(x: float):
+    hi = np.float32(x)
+    lo = np.float32(x - float(hi))
+    return jnp.float32(hi), jnp.float32(lo)
+
+
+def _df_mul_const(xh, xl, c: float):
+    """Multiply a double-float by a Python-float constant.
+
+    The constant's hi/lo decomposition AND the Veltkamp split of its hi part
+    are precomputed here in numpy f32. This is load-bearing: if the split
+    were traced, XLA constant-folds it with excess precision
+    (``--xla_allow_excess_precision``, default on) and silently destroys the
+    error-free transformation, degrading the whole solve to f32 accuracy.
+    """
+    ch = np.float32(c)
+    cl = np.float32(c - float(ch))
+    t = np.float32(4097.0) * ch
+    chh = np.float32(t - np.float32(t - ch))
+    chl = np.float32(ch - chh)
+
+    p = xh * ch
+    ah, al = _split(xh)
+    err = ((ah * chh - p) + ah * chl + al * chh) + al * chl
+    e = err + (xh * cl + xl * ch)
+    return _quick_two_sum(p, e)
+
+
+def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
+    """Double-double version of the two update schemes.
+
+    Rearranged so no error-free transformation ever involves a literal
+    constant: XLA's algebraic simplifier rewrites patterns like
+    ``(x + 1) - x`` with excess precision and silently zeroes the error
+    terms. Expanding the schemes removes the ``1 + ...`` polynomials:
+
+        naive:  v = (s - k00) + s*(u/2)                 with s = k01 + k10
+        order2: v = (s - k00) + s*(u/2 + u^2/12) + k00*(u^2/12)
+    """
+    sh, sl = _df_add(k01h, k01l, k10h, k10l)           # s = k01 + k10
+    d0h, d0l = _df_add(sh, sl, -k00h, -k00l)           # s - k00
+    # 0.5*u is exact per component (power of two)
+    huh, hul = uh * jnp.float32(0.5), ul * jnp.float32(0.5)
+    if naive:
+        mh, ml = _df_mul(sh, sl, huh, hul)
+        return _df_add(d0h, d0l, mh, ml)
+    u2h, u2l = _df_mul(uh, ul, uh, ul)                 # u^2
+    th, tl = _df_mul_const(u2h, u2l, 1.0 / 12.0)       # u^2 / 12
+    wh, wl = _df_add(huh, hul, th, tl)                 # u/2 + u^2/12
+    m1h, m1l = _df_mul(sh, sl, wh, wl)
+    m2h, m2l = _df_mul(k00h, k00l, th, tl)
+    vh, vl = _df_add(d0h, d0l, m1h, m1l)
+    return _df_add(vh, vl, m2h, m2l)
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
+                         sh_ref, sl_ref, ibh, ibl, isem,
+                         *, n_steps, MM, L, naive, grid_out):
+    T = DMA_BATCH
+    P = sh_ref.shape[-1]
+    n_batches = pl.cdiv(n_steps, T)
+    ii = lax.broadcasted_iota(jnp.int32, (L, P), 0)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    sh_ref[0] = jnp.ones((L, P), jnp.float32)
+    sh_ref[1] = jnp.ones((L, P), jnp.float32)
+    sl_ref[0] = jnp.zeros((L, P), jnp.float32)
+    sl_ref[1] = jnp.zeros((L, P), jnp.float32)
+
+    def in_copy(b, slot):
+        return (pltpu.make_async_copy(inch_hbm.at[pl.ds(_ix(b * T), T)],
+                                      ibh.at[_ix(slot)], isem.at[_ix(slot)]),
+                pltpu.make_async_copy(incl_hbm.at[pl.ds(_ix(b * T), T)],
+                                      ibl.at[_ix(slot)],
+                                      isem.at[_ix(2 + slot)]))
+
+    for c in in_copy(0, 0):
+        c.start()
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copy(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copy(b, bslot):
+            c.wait()
+
+        for t in range(T):
+            q = b * T + t
+            vm2, vm1 = t % 2, 1 - (t % 2)
+
+            @pl.when(q < n_steps)
+            def _():
+                uh = ibh[bslot, t]
+                ul = ibl[bslot, t]
+                k10h, k10l = sh_ref[vm1], sl_ref[vm1]
+                k01h = pltpu.roll(k10h, jnp.int32(1), axis=0)
+                k01l = pltpu.roll(k10l, jnp.int32(1), axis=0)
+                k00h = pltpu.roll(sh_ref[vm2], jnp.int32(1), axis=0)
+                k00l = pltpu.roll(sl_ref[vm2], jnp.int32(1), axis=0)
+                vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
+                                    uh, ul, naive)
+                mask = (ii == 0) | (ii == q + 2) | (ii > MM)
+                vh = jnp.where(mask, one, vh)
+                vl = jnp.where(mask, zero, vl)
+
+                if grid_out:
+                    @pl.when(q >= 2)
+                    def _():
+                        pltpu.make_async_copy(sh_ref.at[vm2],
+                                              outh_ref.at[_ix(q - 2)],
+                                              isem.at[_ix(4 + t % 2)]).wait()
+                        pltpu.make_async_copy(sl_ref.at[vm2],
+                                              outl_ref.at[_ix(q - 2)],
+                                              isem.at[_ix(6 + t % 2)]).wait()
+                sh_ref[vm2] = vh
+                sl_ref[vm2] = vl
+                if grid_out:
+                    pltpu.make_async_copy(sh_ref.at[vm2],
+                                          outh_ref.at[_ix(q)],
+                                          isem.at[_ix(4 + t % 2)]).start()
+                    pltpu.make_async_copy(sl_ref.at[vm2],
+                                          outl_ref.at[_ix(q)],
+                                          isem.at[_ix(6 + t % 2)]).start()
+        return 0
+
+    # int32 loop bounds: under jax_enable_x64 a default (int64) fori index
+    # cannot be lowered by Mosaic (its int64->int32 convert path recurses)
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    last = (n_steps - 1) % 2
+    if grid_out:
+        pltpu.make_async_copy(sh_ref.at[last],
+                              outh_ref.at[_ix(n_steps - 1)],
+                              isem.at[_ix(4 + last)]).wait()
+        pltpu.make_async_copy(sl_ref.at[last],
+                              outl_ref.at[_ix(n_steps - 1)],
+                              isem.at[_ix(6 + last)]).wait()
+        @pl.when(n_steps >= 2)
+        def _():
+            pltpu.make_async_copy(sh_ref.at[1 - last],
+                                  outh_ref.at[_ix(n_steps - 2)],
+                                  isem.at[_ix(4 + (1 - last))]).wait()
+            pltpu.make_async_copy(sl_ref.at[1 - last],
+                                  outl_ref.at[_ix(n_steps - 2)],
+                                  isem.at[_ix(6 + (1 - last))]).wait()
+    else:
+        outh_ref[:, :] = sh_ref[last, MM:MM + 1, :]
+        outl_ref[:, :] = sl_ref[last, MM:MM + 1, :]
+
+
+# ---------------------------------------------------------------------------
+# XLA wrappers
+# ---------------------------------------------------------------------------
+
+def _split_hi_lo(x64: jnp.ndarray):
+    hi = x64.astype(jnp.float32)
+    lo = (x64 - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
+
+
+def _pad_skew_df(inc: jnp.ndarray):
+    """f64 (B, MM, NN) -> skewed hi/lo f32 arrays (n_steps_pad, L, P)."""
+    B, MM, NN = inc.shape
+    hi64, lo64 = _split_hi_lo(inc)
+    # reuse the f32 skew; note DMA_BATCH here differs from the f32 module's,
+    # so re-pad the step axis to this module's multiple
+    skh, n_steps, L, P = _pad_skew(hi64)
+    skl, _, _, _ = _pad_skew(lo64)
+    pad_to = ceil_to(n_steps, DMA_BATCH) - skh.shape[0]
+    if pad_to > 0:
+        skh = jnp.pad(skh, ((0, pad_to), (0, 0), (0, 0)))
+        skl = jnp.pad(skl, ((0, pad_to), (0, 0), (0, 0)))
+    return skh, skl, n_steps, L, P
+
+
+@functools.partial(jax.jit, static_argnames=("naive",))
+def solve_final(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
+    """Double-double forward solve; returns f64 ``K[..., -1, -1]``."""
+    batch_shape = inc.shape[:-2]
+    MM, NN = inc.shape[-2], inc.shape[-1]
+    inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float64)
+    B = inc3.shape[0]
+    skh, skl, n_steps, L, P = _pad_skew_df(inc3)
+
+    kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
+                               L=L, naive=naive, grid_out=False)
+    outh, outl = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((1, P), jnp.float32),
+                   jax.ShapeDtypeStruct((1, P), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((2, L, P), jnp.float32),
+            pltpu.VMEM((2, L, P), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(skh, skl)
+    out = outh[0].astype(jnp.float64) + outl[0].astype(jnp.float64)
+    return out[:B].reshape(batch_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("naive",))
+def solve_grid(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
+    """Double-double solve returning the full f64 grid (adjoint backward)."""
+    from . import scan_solver
+
+    batch_shape = inc.shape[:-2]
+    MM, NN = inc.shape[-2], inc.shape[-1]
+    inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float64)
+    B = inc3.shape[0]
+    skh, skl, n_steps, L, P = _pad_skew_df(inc3)
+
+    kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
+                               L=L, naive=naive, grid_out=True)
+    diag_h, diag_l = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n_steps, L, P), jnp.float32),
+                   jax.ShapeDtypeStruct((n_steps, L, P), jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, L, P), jnp.float32),
+            pltpu.VMEM((2, L, P), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(skh, skl)
+    diags = (diag_h[:, :MM + 1, :B].astype(jnp.float64)
+             + diag_l[:, :MM + 1, :B].astype(jnp.float64)).transpose(0, 2, 1)
+    grid = scan_solver.unskew_grid(diags, MM, NN)
+    return grid.reshape(batch_shape + (MM + 1, NN + 1))

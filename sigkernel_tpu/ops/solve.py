@@ -23,17 +23,28 @@ import jax.numpy as jnp
 
 from . import scan_solver
 from . import pallas_solver
+from . import pallas_df64
 
 
 _SOLVERS = ("scan", "pallas", "auto")
 
 
 def _resolve(solver: str, inc: jnp.ndarray) -> str:
+    """Pick the concrete tier: ``pallas`` = f32 Mosaic kernel, ``pallas_df64``
+    = double-double Mosaic kernel (f64-grade precision on the f32 VPU),
+    ``scan`` = pure-XLA fallback (any platform/dtype)."""
     if solver not in _SOLVERS:
         raise ValueError(f"unknown solver {solver!r}; expected one of {_SOLVERS}")
-    if solver == "auto":
+    if solver in ("auto", "pallas"):
         if pallas_solver.supported(inc):
             return "pallas"
+        if pallas_df64.supported(inc):
+            return "pallas_df64"
+        if solver == "pallas":
+            raise ValueError(
+                "solver='pallas' requires a TPU backend, float32/float64 "
+                f"increments and <= {pallas_solver.MAX_ROWS} diagonal rows; "
+                f"got dtype={inc.dtype}, shape={inc.shape}")
         return "scan"
     return solver
 
@@ -42,6 +53,8 @@ def _solve_final(inc, naive, solver):
     s = _resolve(solver, inc)
     if s == "pallas":
         return pallas_solver.solve_final(inc, naive=naive)
+    if s == "pallas_df64":
+        return pallas_df64.solve_final(inc, naive=naive)
     return scan_solver.solve_final(inc, naive=naive)
 
 
@@ -49,6 +62,8 @@ def _solve_grid(inc, naive, solver):
     s = _resolve(solver, inc)
     if s == "pallas":
         return pallas_solver.solve_grid(inc, naive=naive)
+    if s == "pallas_df64":
+        return pallas_df64.solve_grid(inc, naive=naive)
     return scan_solver.solve_grid(inc, naive=naive)
 
 

@@ -1,0 +1,61 @@
+"""Pallas wavefront kernel vs the scan solver.
+
+On CPU these run in interpreter mode (slow, small shapes only); on a real TPU
+(SIGKERNEL_TEST_TPU=1) they compile to Mosaic.
+"""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sigkernel_tpu.ops import scan_solver, pallas_solver
+
+from conftest import make_paths
+
+ON_TPU = bool(os.environ.get("SIGKERNEL_TEST_TPU"))
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if ON_TPU:
+        yield
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+
+
+@pytest.mark.parametrize("naive", [True, False])
+@pytest.mark.parametrize("shape", [(3, 6, 6), (2, 5, 9), (2, 9, 5), (1, 1, 1)])
+def test_pallas_final_matches_scan(rng, naive, shape):
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1, dtype=jnp.float32)
+    want = np.asarray(scan_solver.solve_final(inc, naive=naive))
+    got = np.asarray(pallas_solver.solve_final(inc, naive=naive))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_gram_batch_dims(rng):
+    inc = jnp.asarray(rng.normal(size=(2, 3, 5, 7)) * 0.1, dtype=jnp.float32)
+    want = np.asarray(scan_solver.solve_final(inc))
+    got = np.asarray(pallas_solver.solve_final(inc))
+    assert got.shape == (2, 3)
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape", [(2, 5, 8), (2, 8, 5)])
+def test_pallas_grid_matches_scan(rng, shape):
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1, dtype=jnp.float32)
+    want = np.asarray(scan_solver.solve_grid(inc))
+    got = np.asarray(pallas_solver.solve_grid(inc))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_large_batch_padding(rng):
+    """More than one lane-tile of pairs (tests P padding path)."""
+    inc = jnp.asarray(rng.normal(size=(150, 4, 4)) * 0.1, dtype=jnp.float32)
+    want = np.asarray(scan_solver.solve_final(inc))
+    got = np.asarray(pallas_solver.solve_final(inc))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)

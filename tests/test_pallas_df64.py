@@ -1,0 +1,53 @@
+"""Double-double Pallas solver vs the f64 scan oracle (interpret on CPU)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sigkernel_tpu.ops import scan_solver, pallas_df64
+
+ON_TPU = bool(os.environ.get("SIGKERNEL_TEST_TPU"))
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if ON_TPU:
+        yield
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+
+
+@pytest.mark.parametrize("naive", [True, False])
+@pytest.mark.parametrize("shape", [(2, 6, 6), (2, 5, 9), (1, 9, 5)])
+def test_df64_final_precision(rng, naive, shape):
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1)
+    assert inc.dtype == jnp.float64
+    want = np.asarray(scan_solver.solve_final(inc, naive=naive))
+    got = np.asarray(pallas_df64.solve_final(inc, naive=naive))
+    assert got.dtype == np.float64
+    # double-double: ~1e-14 relative at these sizes, far beyond f32's 1e-7
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+
+def test_df64_beats_f32_precision(rng):
+    """The whole point: df64 must be orders of magnitude closer to f64 than
+    a plain f32 computation."""
+    inc64 = jnp.asarray(rng.normal(size=(4, 30, 30)) * 0.3)
+    want = np.asarray(scan_solver.solve_final(inc64))
+    got_df = np.asarray(pallas_df64.solve_final(inc64))
+    got_f32 = np.asarray(
+        scan_solver.solve_final(inc64.astype(jnp.float32))).astype(np.float64)
+    err_df = np.abs(got_df - want).max() / np.abs(want).max()
+    err_f32 = np.abs(got_f32 - want).max() / np.abs(want).max()
+    assert err_df < 1e-11
+    assert err_df < err_f32 * 1e-3
+
+
+def test_df64_grid_matches_scan(rng):
+    inc = jnp.asarray(rng.normal(size=(2, 5, 8)) * 0.1)
+    want = np.asarray(scan_solver.solve_grid(inc))
+    got = np.asarray(pallas_df64.solve_grid(inc))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
