@@ -1,16 +1,24 @@
 """Benchmark: Gram path-pairs/sec, forward + backward (adjoint), on one chip.
 
 Headline config from BASELINE.json: length 1024, dyadic_order 1
-(refined grid 2046 x 2046), float64, RBF static kernel. The reference's CUDA
-backend cannot run this config at all (hard ``max(MM+1, NN+1) < 1024`` thread
-assert, reference sigkernel/sigkernel.py:222), so ``vs_baseline`` is measured
-against a *generous* roofline model of a hypothetical fixed A100 kernel:
+(refined grid 2046 x 2046), float64 precision, RBF static kernel. The f64
+path runs on the double-double Pallas kernel (f64-grade accuracy on the f32
+VPU; Mosaic has no native f64).
 
-    42 MFLOP-f64/pair/solve, A100 9.7 TFLOP/s f64, 3 solves per fwd+bwd,
-    ~25% wavefront efficiency  ->  ~19,000 pairs/s fwd+bwd.
+The reference's CUDA backend cannot run this config at all (hard
+``max(MM+1, NN+1) < 1024`` thread assert, reference sigkernel/sigkernel.py:222),
+so ``vs_baseline`` is measured against a *generous* roofline model of a
+hypothetical fixed A100 kernel: 42 MFLOP-f64/pair/solve, 9.7 TFLOP/s f64,
+3 solves per fwd+bwd, ~50% wavefront efficiency -> ~19,000 pairs/s fwd+bwd.
+(The shipped numba kernel re-reads HBM every diagonal and is far slower even
+at legal sizes.)
 
-(The actually-shipped numba kernel re-reads HBM every diagonal and would be
-far slower even at legal sizes.) Prints one JSON line.
+Timing protocol: inputs are varied on device per iteration and the loss value
+is fetched to host inside the timed region -- the remote-execution layer
+memoizes identical dispatches and completes asynchronously, so anything less
+measures dispatch latency, not compute.
+
+Prints one JSON line.
 """
 from __future__ import annotations
 
@@ -54,11 +62,10 @@ def main():
 
     step = jax.jit(fwd_bwd)
 
-    # warmup / compile
+    # warmup / compile (fetch to force completion)
     v, g = step(X, Y)
-    jax.block_until_ready((v, g))
+    float(v), float(g.sum())
 
-    # fresh inputs each iteration so no cache/CSE shortcut can hide work
     n_iters = 3
     dts = []
     for i in range(n_iters):
@@ -67,7 +74,7 @@ def main():
         jax.block_until_ready((Xi, Yi))
         t0 = time.perf_counter()
         v, g = step(Xi, Yi)
-        jax.block_until_ready((v, g))
+        _sync = float(v) + float(g.sum())   # host fetch = true completion
         dts.append(time.perf_counter() - t0)
     dt = min(dts)
 

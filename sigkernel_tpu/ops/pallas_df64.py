@@ -31,7 +31,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import LANES, SUBLANES, MAX_ROWS, _pad_skew, _ix
+from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, _ix, _pad_shear,
+                            _extract_final, _stack_to_diags)
 from ..utils import ceil_to
 
 DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
@@ -156,18 +157,18 @@ def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
 
 def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
                          sh_ref, sl_ref, ibh, ibl, isem,
-                         *, n_steps, MM, L, naive, grid_out):
+                         *, n_steps, MM, row_axis, naive, grid_out):
     T = DMA_BATCH
-    P = sh_ref.shape[-1]
+    slab = sh_ref.shape[1:]
     n_batches = pl.cdiv(n_steps, T)
-    ii = lax.broadcasted_iota(jnp.int32, (L, P), 0)
+    ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
 
-    sh_ref[0] = jnp.ones((L, P), jnp.float32)
-    sh_ref[1] = jnp.ones((L, P), jnp.float32)
-    sl_ref[0] = jnp.zeros((L, P), jnp.float32)
-    sl_ref[1] = jnp.zeros((L, P), jnp.float32)
+    sh_ref[0] = jnp.ones(slab, jnp.float32)
+    sh_ref[1] = jnp.ones(slab, jnp.float32)
+    sl_ref[0] = jnp.zeros(slab, jnp.float32)
+    sl_ref[1] = jnp.zeros(slab, jnp.float32)
 
     def in_copy(b, slot):
         return (pltpu.make_async_copy(inch_hbm.at[pl.ds(_ix(b * T), T)],
@@ -199,10 +200,10 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
                 uh = ibh[bslot, t]
                 ul = ibl[bslot, t]
                 k10h, k10l = sh_ref[vm1], sl_ref[vm1]
-                k01h = pltpu.roll(k10h, jnp.int32(1), axis=0)
-                k01l = pltpu.roll(k10l, jnp.int32(1), axis=0)
-                k00h = pltpu.roll(sh_ref[vm2], jnp.int32(1), axis=0)
-                k00l = pltpu.roll(sl_ref[vm2], jnp.int32(1), axis=0)
+                k01h = pltpu.roll(k10h, jnp.int32(1), axis=row_axis)
+                k01l = pltpu.roll(k10l, jnp.int32(1), axis=row_axis)
+                k00h = pltpu.roll(sh_ref[vm2], jnp.int32(1), axis=row_axis)
+                k00l = pltpu.roll(sl_ref[vm2], jnp.int32(1), axis=row_axis)
                 vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
                                     uh, ul, naive)
                 mask = (ii == 0) | (ii == q + 2) | (ii > MM)
@@ -212,19 +213,19 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
                 if grid_out:
                     @pl.when(q >= 2)
                     def _():
-                        pltpu.make_async_copy(sh_ref.at[vm2],
+                        pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
                                               outh_ref.at[_ix(q - 2)],
                                               isem.at[_ix(4 + t % 2)]).wait()
-                        pltpu.make_async_copy(sl_ref.at[vm2],
+                        pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
                                               outl_ref.at[_ix(q - 2)],
                                               isem.at[_ix(6 + t % 2)]).wait()
                 sh_ref[vm2] = vh
                 sl_ref[vm2] = vl
                 if grid_out:
-                    pltpu.make_async_copy(sh_ref.at[vm2],
+                    pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
                                           outh_ref.at[_ix(q)],
                                           isem.at[_ix(4 + t % 2)]).start()
-                    pltpu.make_async_copy(sl_ref.at[vm2],
+                    pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
                                           outl_ref.at[_ix(q)],
                                           isem.at[_ix(6 + t % 2)]).start()
         return 0
@@ -235,23 +236,23 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
 
     last = (n_steps - 1) % 2
     if grid_out:
-        pltpu.make_async_copy(sh_ref.at[last],
+        pltpu.make_async_copy(sh_ref.at[_ix(last)],
                               outh_ref.at[_ix(n_steps - 1)],
                               isem.at[_ix(4 + last)]).wait()
-        pltpu.make_async_copy(sl_ref.at[last],
+        pltpu.make_async_copy(sl_ref.at[_ix(last)],
                               outl_ref.at[_ix(n_steps - 1)],
                               isem.at[_ix(6 + last)]).wait()
         @pl.when(n_steps >= 2)
         def _():
-            pltpu.make_async_copy(sh_ref.at[1 - last],
+            pltpu.make_async_copy(sh_ref.at[_ix(1 - last)],
                                   outh_ref.at[_ix(n_steps - 2)],
                                   isem.at[_ix(4 + (1 - last))]).wait()
-            pltpu.make_async_copy(sl_ref.at[1 - last],
+            pltpu.make_async_copy(sl_ref.at[_ix(1 - last)],
                                   outl_ref.at[_ix(n_steps - 2)],
                                   isem.at[_ix(6 + (1 - last))]).wait()
     else:
-        outh_ref[:, :] = sh_ref[last, MM:MM + 1, :]
-        outl_ref[:, :] = sl_ref[last, MM:MM + 1, :]
+        outh_ref[...] = sh_ref[last]
+        outl_ref[...] = sl_ref[last]
 
 
 # ---------------------------------------------------------------------------
@@ -265,83 +266,88 @@ def _split_hi_lo(x64: jnp.ndarray):
 
 
 def _pad_skew_df(inc: jnp.ndarray):
-    """f64 (B, MM, NN) -> skewed hi/lo f32 arrays (n_steps_pad, L, P)."""
-    B, MM, NN = inc.shape
+    """f64 (B, MM, NN) -> sheared hi/lo f32 arrays (n_steps_pad, *slab)."""
     hi64, lo64 = _split_hi_lo(inc)
-    # reuse the f32 skew; note DMA_BATCH here differs from the f32 module's,
-    # so re-pad the step axis to this module's multiple
-    skh, n_steps, L, P = _pad_skew(hi64)
-    skl, _, _, _ = _pad_skew(lo64)
-    pad_to = ceil_to(n_steps, DMA_BATCH) - skh.shape[0]
-    if pad_to > 0:
-        skh = jnp.pad(skh, ((0, pad_to), (0, 0), (0, 0)))
-        skl = jnp.pad(skl, ((0, pad_to), (0, 0), (0, 0)))
-    return skh, skl, n_steps, L, P
+    skh, n_steps, row_axis, slab = _pad_shear(hi64, DMA_BATCH)
+    skl, _, _, _ = _pad_shear(lo64, DMA_BATCH)
+    return skh, skl, n_steps, row_axis, slab
+
+
+def _df_scratch(slab):
+    return [
+        pltpu.VMEM((2,) + slab, jnp.float32),
+        pltpu.VMEM((2,) + slab, jnp.float32),
+        pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+        pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+        pltpu.SemaphoreType.DMA((8,)),
+    ]
+
+
+def _solve_final_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
+    B, MM, NN = inc3.shape
+    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3)
+    kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
+                               row_axis=row_axis, naive=naive, grid_out=False)
+    outh, outl = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
+                   jax.ShapeDtypeStruct(slab, jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=_df_scratch(slab),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(skh, skl)
+    h = _extract_final(outh, row_axis, MM, B)
+    l = _extract_final(outl, row_axis, MM, B)
+    return h.astype(jnp.float64) + l.astype(jnp.float64)
+
+
+def _solve_grid_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
+    from . import scan_solver
+
+    B, MM, NN = inc3.shape
+    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3)
+    kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
+                               row_axis=row_axis, naive=naive, grid_out=True)
+    diag_h, diag_l = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((n_steps,) + slab, jnp.float32),
+                   jax.ShapeDtypeStruct((n_steps,) + slab, jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=_df_scratch(slab),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(skh, skl)
+    dh = _stack_to_diags(diag_h, row_axis, MM, B).astype(jnp.float64)
+    dl = _stack_to_diags(diag_l, row_axis, MM, B).astype(jnp.float64)
+    return scan_solver.unskew_grid(dh + dl, MM, NN)
 
 
 @functools.partial(jax.jit, static_argnames=("naive",))
 def solve_final(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
     """Double-double forward solve; returns f64 ``K[..., -1, -1]``."""
+    from .pallas_solver import _chunk_map, pair_chunk
+
     batch_shape = inc.shape[:-2]
     MM, NN = inc.shape[-2], inc.shape[-1]
     inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float64)
-    B = inc3.shape[0]
-    skh, skl, n_steps, L, P = _pad_skew_df(inc3)
-
-    kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
-                               L=L, naive=naive, grid_out=False)
-    outh, outl = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((1, P), jnp.float32),
-                   jax.ShapeDtypeStruct((1, P), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
-        scratch_shapes=[
-            pltpu.VMEM((2, L, P), jnp.float32),
-            pltpu.VMEM((2, L, P), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(skh, skl)
-    out = outh[0].astype(jnp.float64) + outl[0].astype(jnp.float64)
-    return out[:B].reshape(batch_shape)
+    out = _chunk_map(functools.partial(_solve_final_one, naive=naive),
+                     inc3, pair_chunk(MM, NN, planes=2))
+    return out.reshape(batch_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("naive",))
 def solve_grid(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
     """Double-double solve returning the full f64 grid (adjoint backward)."""
-    from . import scan_solver
+    from .pallas_solver import _chunk_map, pair_chunk
 
     batch_shape = inc.shape[:-2]
     MM, NN = inc.shape[-2], inc.shape[-1]
     inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float64)
-    B = inc3.shape[0]
-    skh, skl, n_steps, L, P = _pad_skew_df(inc3)
-
-    kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
-                               L=L, naive=naive, grid_out=True)
-    diag_h, diag_l = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct((n_steps, L, P), jnp.float32),
-                   jax.ShapeDtypeStruct((n_steps, L, P), jnp.float32)),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
-        out_specs=(pl.BlockSpec(memory_space=pl.ANY),
-                   pl.BlockSpec(memory_space=pl.ANY)),
-        scratch_shapes=[
-            pltpu.VMEM((2, L, P), jnp.float32),
-            pltpu.VMEM((2, L, P), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024),
-    )(skh, skl)
-    diags = (diag_h[:, :MM + 1, :B].astype(jnp.float64)
-             + diag_l[:, :MM + 1, :B].astype(jnp.float64)).transpose(0, 2, 1)
-    grid = scan_solver.unskew_grid(diags, MM, NN)
+    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive),
+                      inc3, pair_chunk(MM, NN, planes=2))
     return grid.reshape(batch_shape + (MM + 1, NN + 1))

@@ -2,25 +2,30 @@
 
 The native TPU tier, playing the role of the reference's hand-written CUDA
 backend (reference sigkernel/cuda_backend.py:6-49,121-160) with the CUDA
-block grid replaced by lane vectorisation:
+block grid replaced by vector-unit vectorisation. One wavefront step updates
+the entire anti-diagonal for all pairs of a tile as a single fused VPU op
+over a 2-D slab; increments are pre-sheared to diagonal-major layout in XLA
+(pad+reshape, no gathers) and streamed HBM -> VMEM with batched
+double-buffered DMA; the two previous diagonals live in a ping-pong VMEM
+scratch with compile-time slots.
 
-- *pairs on lanes*: all path pairs of a tile are updated simultaneously in
-  the 128-wide lane dimension;
-- *diagonal on sublanes*: one wavefront step updates the entire anti-diagonal
-  (up to ``MM+1`` rows) as a single fused VPU op over an ``(L, P)`` block;
-- increments are pre-skewed to diagonal-major layout in XLA and streamed
-  HBM -> VMEM with double-buffered async DMA, one ``(L, P)`` slab per step;
-- the two previous diagonals live in a rotating VMEM scratch; the dependency
-  shifts ``K[i-1, *]`` are ``pltpu.roll`` over the sublane axis.
+Two slab layouts, chosen by batch size so neither axis wastes its hardware
+padding:
 
-The 1024-thread CUDA limit does not exist here: the diagonal length is bounded
-only by VMEM (~8k rows at f32 with 128 lanes), and longer paths fall back to
-the scan tier until the blocked kernel lands.
+- ``pairs-on-lanes`` (B >= 128): slab ``(L_rows, P_lanes)``; the dependency
+  shift ``K[i-1, *]`` is a sublane roll.
+- ``pairs-on-sublanes`` (B < 128): slab ``(P_sub, L_lanes)``; the shift is a
+  lane roll. Without this, a 16-pair solve pads to 128 lanes and every HBM
+  stream costs 8x its useful size.
+
+The 1024-thread CUDA limit does not exist here: the diagonal length is
+bounded only by VMEM (~8k rows at f32), and longer paths fall back to the
+scan tier until the blocked kernel lands.
 
 Padding is free: a zero increment makes the update an exact no-op
 (``(1+1)*(1+0)-1 = 1``), so padded rows/lanes hold the boundary value 1
-forever and never contaminate valid cells (junk flows strictly downward in
-``i``).
+forever and never contaminate valid cells (junk flows strictly away from
+the wavefront's dependency direction).
 """
 from __future__ import annotations
 
@@ -35,10 +40,11 @@ from jax.experimental.pallas import tpu as pltpu
 from . import scan_solver
 from ..utils import ceil_to
 
-# lane width and max diagonal rows the single-block kernel supports
 LANES = 128
 SUBLANES = 8
 MAX_ROWS = 8192
+# batch threshold between the two slab layouts
+PS_LAYOUT_MAX_B = 64
 
 
 def supported(inc: jnp.ndarray) -> bool:
@@ -80,25 +86,28 @@ DMA_BATCH = 4
 
 
 def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
-                      *, n_steps, MM, L, naive, grid_out):
-    """Single-program wavefront sweep.
+                      *, n_steps, MM, row_axis, naive, grid_out):
+    """Single-program wavefront sweep over slabs of shape ``state.shape[1:]``.
 
-    ``inc_hbm``: (n_batches*T, L, P) skewed increments in HBM/ANY
-    (step-padded to a multiple of ``T = DMA_BATCH``).
-    ``out_ref``: final (1, P) VMEM output, or (n_steps, L, P) HBM diagonal
-    stack when ``grid_out``.
-    ``state``: (2, L, P) VMEM ping-pong diagonals, statically indexed.
-    ``ibuf``: (2, T, L, P) VMEM DMA landing slots.
-    ``isem``: 2 DMA semaphores (+2 for grid write-back).
+    ``row_axis``: which slab axis carries the diagonal row index ``i``
+    (1 for pairs-on-sublanes, 0 for pairs-on-lanes). The other axis carries
+    pairs.
+
+    ``inc_hbm``: (n_batches*T, *slab) sheared increments in HBM/ANY.
+    ``out_ref``: final slab-shaped VMEM output (row ``MM`` extracted by the
+    caller), or (n_steps, *slab) HBM diagonal stack when ``grid_out``.
+    ``state``: (2, *slab) VMEM ping-pong diagonals, statically indexed.
+    ``ibuf``: (2, T, *slab) VMEM DMA landing slots.
+    ``isem``: 4 DMA semaphores (2 in + 2 grid write-back).
     """
     T = DMA_BATCH
-    P = state.shape[-1]
+    slab = state.shape[1:]
     n_batches = pl.cdiv(n_steps, T)
-    ii = lax.broadcasted_iota(jnp.int32, (L, P), 0)
+    ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
     one = jnp.float32(1.0)
 
-    state[0] = jnp.ones((L, P), jnp.float32)  # v_0 (and padding steady-state)
-    state[1] = jnp.ones((L, P), jnp.float32)  # v_1
+    state[0] = jnp.ones(slab, jnp.float32)  # v_0 (and padding steady-state)
+    state[1] = jnp.ones(slab, jnp.float32)  # v_1
 
     def in_copy(b, slot):
         return pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
@@ -124,8 +133,8 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
                 u = ibuf[bslot, t]
                 vm1 = state[vm1_s]
                 k10 = vm1
-                k01 = pltpu.roll(vm1, jnp.int32(1), axis=0)
-                k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=0)
+                k01 = pltpu.roll(vm1, jnp.int32(1), axis=row_axis)
+                k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=row_axis)
                 v = _scheme(k00, k01, k10, u, naive)
                 mask = (ii == 0) | (ii == q + 2) | (ii > MM)
                 v = jnp.where(mask, one, v)
@@ -136,11 +145,11 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
                     @pl.when(q >= 2)
                     def _():
                         pltpu.make_async_copy(
-                            state.at[vm2_s], out_ref.at[_ix(q - 2)],
+                            state.at[_ix(vm2_s)], out_ref.at[_ix(q - 2)],
                             isem.at[_ix(2 + t % 2)]).wait()
                 state[vm2_s] = v
                 if grid_out:
-                    pltpu.make_async_copy(state.at[vm2_s],
+                    pltpu.make_async_copy(state.at[_ix(vm2_s)],
                                           out_ref.at[_ix(q)],
                                           isem.at[_ix(2 + t % 2)]).start()
         return 0
@@ -151,42 +160,148 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
 
     last = (n_steps - 1) % 2
     if grid_out:
-        pltpu.make_async_copy(state.at[last], out_ref.at[_ix(n_steps - 1)],
+        pltpu.make_async_copy(state.at[_ix(last)],
+                              out_ref.at[_ix(n_steps - 1)],
                               isem.at[_ix(2 + last)]).wait()
         @pl.when(n_steps >= 2)
         def _():
-            pltpu.make_async_copy(state.at[1 - last],
+            pltpu.make_async_copy(state.at[_ix(1 - last)],
                                   out_ref.at[_ix(n_steps - 2)],
                                   isem.at[_ix(2 + (1 - last))]).wait()
     else:
-        out_ref[:, :] = state[last, MM:MM + 1, :]
+        out_ref[...] = state[last]
 
 
-def _pad_skew(inc: jnp.ndarray):
-    """(B, MM, NN) f32 -> skewed (n_steps, L, P) with pairs innermost (lanes).
+# ---------------------------------------------------------------------------
+# Layout + shearing
+# ---------------------------------------------------------------------------
 
-    ``out[q, i, b] = inc[b, i-1, q-i+1]`` (zero out of range). Pads rows to
-    the sublane multiple and pairs to the lane multiple with zeros (exact
-    no-ops for the PDE update).
+def _layout(B: int, MM: int):
+    """Slab geometry for a (B, MM, NN) problem.
+
+    Returns ``(row_axis, slab, b_pad)`` where ``slab`` is the 2-D slab shape
+    and ``b_pad`` the padded pair count.
+    """
+    if B > PS_LAYOUT_MAX_B:
+        L = ceil_to(MM + 1, SUBLANES)
+        P = ceil_to(B, LANES)
+        return 0, (L, P), P        # pairs on lanes
+    L = ceil_to(MM + 1, LANES)
+    P = ceil_to(B, SUBLANES)
+    return 1, (P, L), P            # pairs on sublanes
+
+
+def _pad_shear(inc: jnp.ndarray, dma_batch: int):
+    """(B, MM, NN) -> sheared (n_steps_pad, *slab) + geometry.
+
+    ``out[q, ..row i.., ..pair b..] = inc[b, i-1, q-i+1]`` (zeros out of
+    range; axis order per layout). Shearing is pad+reshape (no gather).
     """
     B, MM, NN = inc.shape
     n_steps = MM + NN - 1
+    row_axis, slab, b_pad = _layout(B, MM)
+    S = scan_solver.shear_rows(inc)            # (B, MM, n_steps)
+    S = jnp.pad(S, ((0, 0), (1, 0), (0, 0)))   # row i = a + 1 -> (B, MM+1, T)
+    if row_axis == 0:  # (n_steps, L_rows, P_lanes)
+        sk = jnp.transpose(S, (2, 1, 0))
+        sk = jnp.pad(sk, ((0, 0), (0, slab[0] - (MM + 1)),
+                          (0, slab[1] - B)))
+    else:              # (n_steps, P_sub, L_lanes)
+        sk = jnp.transpose(S, (2, 0, 1))
+        sk = jnp.pad(sk, ((0, 0), (0, slab[0] - B),
+                          (0, slab[1] - (MM + 1))))
+    pad_steps = ceil_to(n_steps, dma_batch) - n_steps
+    if pad_steps:
+        sk = jnp.pad(sk, ((0, pad_steps), (0, 0), (0, 0)))
+    return sk, n_steps, row_axis, slab
+
+
+# HBM budget for one chunk's sheared increment stream (per f32 plane)
+CHUNK_BYTES = 1 << 30
+
+
+def pair_chunk(MM: int, NN: int, planes: int = 1) -> int:
+    """Pairs per kernel launch, keeping the sheared stream under budget."""
+    n_steps = MM + NN - 1
     L = ceil_to(MM + 1, SUBLANES)
-    P = ceil_to(B, LANES)
-    q = jnp.arange(n_steps)[:, None]
-    i = jnp.arange(MM + 1)[None, :]
-    a = i - 1
-    b = q - a
-    valid = (a >= 0) & (a < MM) & (b >= 0) & (b < NN)
-    a_c = jnp.clip(a, 0, MM - 1)
-    b_c = jnp.clip(b, 0, NN - 1)
-    vals = inc[:, a_c, b_c]  # (B, n_steps, MM+1)
-    vals = jnp.where(valid, vals, jnp.zeros((), inc.dtype))
-    sk = jnp.transpose(vals, (1, 2, 0))  # (n_steps, MM+1, B)
-    n_steps_pad = ceil_to(n_steps, DMA_BATCH)
-    sk = jnp.pad(sk, ((0, n_steps_pad - n_steps), (0, L - (MM + 1)),
-                      (0, P - B)))
-    return sk, n_steps, L, P
+    per_pair = n_steps * L * 4 * planes
+    c = (CHUNK_BYTES // max(per_pair, 1)) // LANES * LANES
+    return int(min(max(c, LANES), 4096))
+
+
+def _chunk_map(fn, inc3: jnp.ndarray, chunk: int):
+    """Apply ``fn`` over pair chunks of ``(B, MM, NN)`` input."""
+    B = inc3.shape[0]
+    if B <= chunk:
+        return fn(inc3)
+    Bp = ceil_to(B, chunk)
+    if Bp != B:
+        inc3 = jnp.pad(inc3, ((0, Bp - B), (0, 0), (0, 0)))
+    chunks = inc3.reshape(Bp // chunk, chunk, *inc3.shape[1:])
+    out = jax.lax.map(fn, chunks)
+    out = out.reshape((Bp,) + out.shape[2:])
+    return out[:B]
+
+
+# ---------------------------------------------------------------------------
+# XLA wrappers
+# ---------------------------------------------------------------------------
+
+def _extract_final(out, row_axis, MM, B):
+    """Final-output slab -> (B,) vector of K[MM, NN] values."""
+    if row_axis == 0:
+        return out[MM, :B]
+    return out[:B, MM]
+
+
+def _stack_to_diags(diags, row_axis, MM, B):
+    """(n_steps, *slab) stack -> (n_steps, B, MM+1) for unskew_grid."""
+    if row_axis == 0:
+        return jnp.swapaxes(diags[:, :MM + 1, :B], 1, 2)
+    return diags[:, :B, :MM + 1]
+
+
+def _solve_final_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
+    B, MM, NN = inc3.shape
+    sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
+    kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
+                               row_axis=row_axis, naive=naive, grid_out=False)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(slab, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + slab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(sk)
+    return _extract_final(out, row_axis, MM, B)
+
+
+def _solve_grid_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
+    B, MM, NN = inc3.shape
+    sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
+    kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
+                               row_axis=row_axis, naive=naive, grid_out=True)
+    diags = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n_steps,) + slab, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + slab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(sk)
+    diags = _stack_to_diags(diags, row_axis, MM, B)  # (n_steps, B, MM+1)
+    return scan_solver.unskew_grid(diags, MM, NN)
 
 
 @functools.partial(jax.jit, static_argnames=("naive",))
@@ -195,53 +310,19 @@ def solve_final(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
     batch_shape = inc.shape[:-2]
     MM, NN = inc.shape[-2], inc.shape[-1]
     inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float32)
-    sk, n_steps, L, P = _pad_skew(inc3)
-
-    kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
-                               L=L, naive=naive, grid_out=False)
-    out = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((1, P), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2, L, P), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(sk)
-    return out[0, :inc3.shape[0]].reshape(batch_shape)
+    out = _chunk_map(functools.partial(_solve_final_one, naive=naive),
+                     inc3, pair_chunk(MM, NN))
+    return out.reshape(batch_shape)
 
 
 @functools.partial(jax.jit, static_argnames=("naive",))
 def solve_grid(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
     """Pallas solve returning the full ``(..., MM+1, NN+1)`` grid (used by
-    the adjoint backward); diagonals are streamed to HBM and unskewed in XLA.
-    """
+    the adjoint backward); diagonals are streamed to HBM and unsheared in
+    XLA."""
     batch_shape = inc.shape[:-2]
     MM, NN = inc.shape[-2], inc.shape[-1]
     inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float32)
-    B = inc3.shape[0]
-    sk, n_steps, L, P = _pad_skew(inc3)
-
-    kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
-                               L=L, naive=naive, grid_out=True)
-    diags = pl.pallas_call(
-        kernel,
-        out_shape=jax.ShapeDtypeStruct((n_steps, L, P), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        scratch_shapes=[
-            pltpu.VMEM((2, L, P), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, L, P), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-    )(sk)
-    # (n_steps, L, P) -> (n_steps, B, MM+1) -> grid (B, MM+1, NN+1)
-    diags = diags[:, :MM + 1, :B].transpose(0, 2, 1)
-    grid = scan_solver.unskew_grid(diags, MM, NN)
+    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive),
+                      inc3, pair_chunk(MM, NN))
     return grid.reshape(batch_shape + (MM + 1, NN + 1))

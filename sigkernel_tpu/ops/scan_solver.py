@@ -56,6 +56,43 @@ def get_scheme(naive: bool):
 # Diagonal (skewed) layout helpers
 # ---------------------------------------------------------------------------
 
+def shear_rows(x: jnp.ndarray) -> jnp.ndarray:
+    """Shear a grid so anti-diagonals become columns -- WITHOUT a gather.
+
+    ``(..., R, C) -> (..., R, T)`` with ``T = R + C - 1`` and
+    ``out[..., a, t] = x[..., a, t - a]`` (zero out of the valid band).
+
+    Implemented as pad + flatten + truncate + reshape: padding each row to
+    width ``T + 1`` makes consecutive rows' flat offsets differ by one more
+    than the output row stride ``T``, which realises the per-row shift. This
+    lowers to plain copies -- XLA gathers at these sizes run ~10x slower
+    than memcpy on TPU and dominate the whole solve.
+    """
+    *batch, R, C = x.shape
+    T = R + C - 1
+    W0 = T + 1
+    xp = jnp.pad(x, [(0, 0)] * len(batch) + [(0, 0), (0, W0 - C)])
+    flat = xp.reshape(*batch, R * W0)[..., : R * T]
+    return flat.reshape(*batch, R, T)
+
+
+def unshear_rows(D: jnp.ndarray, NN: int) -> jnp.ndarray:
+    """Inverse shear with the solver's index offset -- no gather.
+
+    ``D``: ``(..., R, T)`` with ``D[..., i, q]`` = diagonal ``q`` at row
+    ``i``. Returns ``(..., R, NN+1)`` with
+    ``out[..., i, j] = D[..., i, i + j - 2]`` (zeros where out of range).
+    Same flat-stride trick as :func:`shear_rows`, with a 2-element prepend
+    realising the ``-2`` diagonal offset.
+    """
+    *batch, R, T = D.shape
+    W1 = T + 1
+    flat = D.reshape(*batch, R * T)
+    flat = jnp.pad(flat, [(0, 0)] * len(batch) + [(2, max(R - 2, 0))])
+    flat = flat[..., : R * W1]
+    return flat.reshape(*batch, R, W1)[..., : NN + 1]
+
+
 def skew_increments(inc: jnp.ndarray) -> jnp.ndarray:
     """Re-layout an increment grid into diagonal-major ("skewed") form.
 
@@ -67,18 +104,9 @@ def skew_increments(inc: jnp.ndarray) -> jnp.ndarray:
     (zero where out of range). The index shift by one aligns entry ``i`` of
     step ``q`` with the increment feeding solution cell ``(i, q+2-i)``.
     """
-    MM, NN = inc.shape[-2], inc.shape[-1]
-    n_steps = MM + NN - 1
-    q = jnp.arange(n_steps)[:, None]
-    i = jnp.arange(MM + 1)[None, :]
-    a = i - 1
-    b = q - a
-    valid = (a >= 0) & (a < MM) & (b >= 0) & (b < NN)
-    a_c = jnp.clip(a, 0, MM - 1)
-    b_c = jnp.clip(b, 0, NN - 1)
-    vals = inc[..., a_c, b_c]  # (..., n_steps, MM+1)
-    vals = jnp.where(valid, vals, jnp.zeros((), inc.dtype))
-    return jnp.moveaxis(vals, -2, 0)
+    S = shear_rows(inc)  # (..., MM, n_steps)
+    S = jnp.pad(S, [(0, 0)] * (S.ndim - 2) + [(1, 0), (0, 0)])
+    return jnp.moveaxis(S, -1, 0)  # (n_steps, ..., MM+1)
 
 
 def unskew_grid(diags: jnp.ndarray, MM: int, NN: int) -> jnp.ndarray:
@@ -88,13 +116,10 @@ def unskew_grid(diags: jnp.ndarray, MM: int, NN: int) -> jnp.ndarray:
     (scan outputs). Boundary cells (``i == 0`` or ``j == 0``) are filled
     with 1.
     """
-    n_steps = MM + NN - 1
-    d = jnp.moveaxis(diags, 0, -2)  # (..., n_steps, MM+1)
-    d = d.reshape(*d.shape[:-2], n_steps * (MM + 1))
+    D = jnp.moveaxis(diags, 0, -1)  # (..., MM+1, n_steps)
+    K = unshear_rows(D, NN)
     i = jnp.arange(MM + 1)[:, None]
     j = jnp.arange(NN + 1)[None, :]
-    flat = jnp.clip((i + j - 2), 0, n_steps - 1) * (MM + 1) + i
-    K = d[..., flat]
     one = jnp.ones((), diags.dtype)
     return jnp.where((i == 0) | (j == 0), one, K)
 

@@ -69,12 +69,42 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
     return out.reshape(-1)[:n]
 
 
+def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
+                       max_batch):
+    """Symmetric Gram ``G(X, X)`` from upper-triangular pairs only.
+
+    The wavefront solve is exactly transpose-covariant, so ``K[j, i]`` equals
+    ``K[i, j]`` and computing both is wasted work -- this halves the solve
+    cost, the same exploitation the reference's Cython ``sym`` path does by
+    mirroring (reference cython_backend.pyx:74-97). Pairs are gathered into
+    a flat batch and solved with ``batch_kernel``.
+    """
+    import numpy as np
+
+    A = X.shape[0]
+    iu, ju = np.triu_indices(A)
+    Xi = X[iu]
+    Xj = X[ju]
+    vals = sig_kernel(static_kernel, Xi, Xj, dyadic_order=dyadic_order,
+                      naive=naive, solver=solver,
+                      max_batch=None if max_batch is None
+                      else max_batch * max_batch)
+    K = jnp.zeros((A, A), vals.dtype).at[iu, ju].set(vals)
+    return K + K.T - jnp.diag(jnp.diag(K))
+
+
 def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
              solver="auto", max_batch: Optional[int] = 100):
     """Signature-kernel Gram matrix ``k_sig(X^i, Y^j)`` -> ``(bx, by)``.
 
     Parity: reference ``SigKernel.compute_Gram`` (sigkernel.py:92-128).
+    With ``sym=True`` (caller asserts ``Y is X`` semantically, as in the
+    reference) only the upper triangle is solved and mirrored.
     """
+    if sym and X.shape == Y.shape:
+        return _gram_sym_triangle(static_kernel, X, dyadic_order, naive,
+                                  solver, max_batch)
+
     def tile_fn(x, y):
         G = static_kernel.Gram_matrix(x, y)
         inc = increment_grid(G, dyadic_order)
