@@ -37,8 +37,8 @@ A100_MODEL_PAIRS_PER_S = 19000.0
 LENGTH = 1024
 DYADIC = 1
 DIM = 3
-PAIRS_A = 4
-PAIRS_B = 4
+PAIRS_A = 8
+PAIRS_B = 8
 DTYPE = "float64"
 
 

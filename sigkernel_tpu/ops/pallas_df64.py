@@ -265,9 +265,18 @@ def _split_hi_lo(x64: jnp.ndarray):
     return hi, lo
 
 
-def _pad_skew_df(inc: jnp.ndarray):
-    """f64 (B, MM, NN) -> sheared hi/lo f32 arrays (n_steps_pad, *slab)."""
+def _pad_skew_df(inc: jnp.ndarray, dyadic_order: int = 0):
+    """f64 base (B, M-1, N-1) -> sheared hi/lo f32 arrays.
+
+    The hi/lo split runs at *base* resolution (one emulated-f64 subtraction
+    per base cell); refinement is then a pure-f32 repeat + exact power-of-two
+    scale per component -- 4x less emulated-f64 work than refining first.
+    """
+    from ..utils import dyadic_refine
+
     hi64, lo64 = _split_hi_lo(inc)
+    hi64 = dyadic_refine(hi64, dyadic_order)
+    lo64 = dyadic_refine(lo64, dyadic_order)
     skh, n_steps, row_axis, slab = _pad_shear(hi64, DMA_BATCH)
     skl, _, _, _ = _pad_shear(lo64, DMA_BATCH)
     return skh, skl, n_steps, row_axis, slab
@@ -283,9 +292,12 @@ def _df_scratch(slab):
     ]
 
 
-def _solve_final_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
-    B, MM, NN = inc3.shape
-    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3)
+def _solve_final_one(inc3: jnp.ndarray, naive: bool,
+                     dyadic_order: int = 0) -> jnp.ndarray:
+    f = 2 ** dyadic_order
+    B = inc3.shape[0]
+    MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
+    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3, dyadic_order)
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=False)
     outh, outl = pl.pallas_call(
@@ -304,11 +316,14 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
     return h.astype(jnp.float64) + l.astype(jnp.float64)
 
 
-def _solve_grid_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
+def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
+                    dyadic_order: int = 0) -> jnp.ndarray:
     from . import scan_solver
 
-    B, MM, NN = inc3.shape
-    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3)
+    f = 2 ** dyadic_order
+    B = inc3.shape[0]
+    MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
+    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3, dyadic_order)
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=True)
     diag_h, diag_l = pl.pallas_call(
@@ -327,27 +342,33 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
     return scan_solver.unskew_grid(dh + dl, MM, NN)
 
 
-@functools.partial(jax.jit, static_argnames=("naive",))
-def solve_final(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final(inc: jnp.ndarray, naive: bool = False,
+                dyadic_order: int = 0) -> jnp.ndarray:
     """Double-double forward solve; returns f64 ``K[..., -1, -1]``."""
     from .pallas_solver import _chunk_map, pair_chunk
 
     batch_shape = inc.shape[:-2]
-    MM, NN = inc.shape[-2], inc.shape[-1]
-    inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float64)
-    out = _chunk_map(functools.partial(_solve_final_one, naive=naive),
+    f = 2 ** dyadic_order
+    MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
+    inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float64)
+    out = _chunk_map(functools.partial(_solve_final_one, naive=naive,
+                                       dyadic_order=dyadic_order),
                      inc3, pair_chunk(MM, NN, planes=2))
     return out.reshape(batch_shape)
 
 
-@functools.partial(jax.jit, static_argnames=("naive",))
-def solve_grid(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
-    """Double-double solve returning the full f64 grid (adjoint backward)."""
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_grid(inc: jnp.ndarray, naive: bool = False,
+               dyadic_order: int = 0) -> jnp.ndarray:
+    """Double-double solve returning the full refined f64 grid."""
     from .pallas_solver import _chunk_map, pair_chunk
 
     batch_shape = inc.shape[:-2]
-    MM, NN = inc.shape[-2], inc.shape[-1]
-    inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float64)
-    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive),
+    f = 2 ** dyadic_order
+    MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
+    inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float64)
+    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive,
+                                        dyadic_order=dyadic_order),
                       inc3, pair_chunk(MM, NN, planes=2))
     return grid.reshape(batch_shape + (MM + 1, NN + 1))

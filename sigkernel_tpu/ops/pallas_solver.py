@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import scan_solver
-from ..utils import ceil_to
+from ..utils import ceil_to, dyadic_refine
 
 LANES = 128
 SUBLANES = 8
@@ -261,7 +261,9 @@ def _stack_to_diags(diags, row_axis, MM, B):
     return diags[:, :B, :MM + 1]
 
 
-def _solve_final_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
+def _solve_final_one(inc3: jnp.ndarray, naive: bool,
+                     dyadic_order: int = 0) -> jnp.ndarray:
+    inc3 = dyadic_refine(inc3, dyadic_order)  # f32 repeat + exact scale
     B, MM, NN = inc3.shape
     sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
@@ -282,7 +284,9 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
     return _extract_final(out, row_axis, MM, B)
 
 
-def _solve_grid_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
+def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
+                    dyadic_order: int = 0) -> jnp.ndarray:
+    inc3 = dyadic_refine(inc3, dyadic_order)  # f32 repeat + exact scale
     B, MM, NN = inc3.shape
     sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
@@ -304,25 +308,32 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool) -> jnp.ndarray:
     return scan_solver.unskew_grid(diags, MM, NN)
 
 
-@functools.partial(jax.jit, static_argnames=("naive",))
-def solve_final(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
-    """Pallas forward solve returning ``K[..., -1, -1]``."""
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final(inc: jnp.ndarray, naive: bool = False,
+                dyadic_order: int = 0) -> jnp.ndarray:
+    """Pallas forward solve returning ``K[..., -1, -1]``. ``inc`` is the
+    base increment grid; refinement happens per pair-chunk in f32."""
     batch_shape = inc.shape[:-2]
-    MM, NN = inc.shape[-2], inc.shape[-1]
-    inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float32)
-    out = _chunk_map(functools.partial(_solve_final_one, naive=naive),
+    f = 2 ** dyadic_order
+    MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
+    inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float32)
+    out = _chunk_map(functools.partial(_solve_final_one, naive=naive,
+                                       dyadic_order=dyadic_order),
                      inc3, pair_chunk(MM, NN))
     return out.reshape(batch_shape)
 
 
-@functools.partial(jax.jit, static_argnames=("naive",))
-def solve_grid(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
-    """Pallas solve returning the full ``(..., MM+1, NN+1)`` grid (used by
-    the adjoint backward); diagonals are streamed to HBM and unsheared in
-    XLA."""
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_grid(inc: jnp.ndarray, naive: bool = False,
+               dyadic_order: int = 0) -> jnp.ndarray:
+    """Pallas solve returning the full refined ``(..., MM+1, NN+1)`` grid
+    (used by the adjoint backward); diagonals are streamed to HBM and
+    unsheared in XLA."""
     batch_shape = inc.shape[:-2]
-    MM, NN = inc.shape[-2], inc.shape[-1]
-    inc3 = inc.reshape((-1, MM, NN)).astype(jnp.float32)
-    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive),
+    f = 2 ** dyadic_order
+    MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
+    inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float32)
+    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive,
+                                        dyadic_order=dyadic_order),
                       inc3, pair_chunk(MM, NN))
     return grid.reshape(batch_shape + (MM + 1, NN + 1))

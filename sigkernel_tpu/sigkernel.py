@@ -23,7 +23,7 @@ from jax import lax
 
 from .ops import scan_solver
 from .ops.solve import solve
-from .utils import increment_grid
+from .utils import increment_grid, double_difference
 
 
 # ---------------------------------------------------------------------------
@@ -53,8 +53,8 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
     def tile_fn(xy):
         x, y = xy
         G = static_kernel.batch_kernel(x, y)
-        inc = increment_grid(G, dyadic_order)
-        return solve(inc, naive, solver)
+        dd = double_difference(G)
+        return solve(dd, naive, solver, dyadic_order)
 
     batch = X.shape[0]
     if max_batch is None or batch <= max_batch:
@@ -107,8 +107,8 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
 
     def tile_fn(x, y):
         G = static_kernel.Gram_matrix(x, y)
-        inc = increment_grid(G, dyadic_order)
-        return solve(inc, naive, solver)
+        dd = double_difference(G)
+        return solve(dd, naive, solver, dyadic_order)
 
     bx, by = X.shape[0], Y.shape[0]
     if max_batch is None or (bx <= max_batch and by <= max_batch):

@@ -1,0 +1,56 @@
+"""Model-layer tests: precomputed-Gram SVC and the MMD particle flow."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import sigkernel_tpu as sk
+from sigkernel_tpu.models import SigKernelSVC, MMDFlow, mmd_flow_step
+
+from conftest import make_paths
+
+
+def _class_data(rng, n_per_class=8, length=12, dim=2):
+    dirs = np.array([[1.0, 0.0], [-1.0, 0.5]])
+    X, y = [], []
+    for k in range(2):
+        noise = rng.normal(size=(n_per_class, length, dim)) * 0.2
+        drift = np.linspace(0, 1, length)[None, :, None] * dirs[k]
+        X.append(np.cumsum(noise, 1) / np.sqrt(length) + drift)
+        y += [k] * n_per_class
+    return np.concatenate(X), np.array(y)
+
+
+def test_svc_fit_predict(rng):
+    X, y = _class_data(rng)
+    model = SigKernelSVC(sk.RBFKernel(0.5), dyadic_order=0,
+                         svc_parameters={"C": [1.0, 10.0]}, cv=2)
+    model.fit(jnp.asarray(X), y)
+    acc = model.score(jnp.asarray(X), y)
+    assert acc > 0.9  # easily separable training data
+
+    X2, y2 = _class_data(rng)
+    acc2 = model.score(jnp.asarray(X2), y2)
+    assert acc2 > 0.7
+
+
+def test_svc_predict_before_fit_raises(rng):
+    model = SigKernelSVC(sk.RBFKernel(0.5))
+    with pytest.raises(RuntimeError):
+        model.predict(jnp.zeros((2, 5, 2)))
+
+
+def test_mmd_flow_decreases_loss(rng):
+    Y = jnp.asarray(make_paths(rng, 8, 8, 2, scale=1.0))
+    X0 = jnp.asarray(make_paths(rng, 8, 8, 2, scale=0.2))
+    flow = MMDFlow(sk.RBFKernel(0.5), dyadic_order=0, lr=0.2)
+    X1, history = flow.fit(X0, Y, n_steps=8)
+    assert np.isfinite(history).all()
+    assert history[-1] < history[0]  # flow reduces MMD^2
+
+
+def test_mmd_flow_step_jits(rng):
+    Y = jnp.asarray(make_paths(rng, 4, 6, 2))
+    X = jnp.asarray(make_paths(rng, 4, 6, 2))
+    X1, v = mmd_flow_step(sk.RBFKernel(1.0), X, Y, lr=0.1)
+    assert X1.shape == X.shape
+    assert np.isfinite(float(v))
