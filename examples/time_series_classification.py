@@ -112,19 +112,32 @@ def main():
     ap.add_argument("--dyadic-order", type=int, default=0)
     ap.add_argument("--max-batch", type=int, default=100)
     ap.add_argument("--out", default="results/uea_results.pkl")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore existing results file instead of resuming")
     args = ap.parse_args()
 
     names = ["synthetic"] if args.synthetic else args.datasets
+
+    # incremental save/resume, mirroring the reference's per-dataset pickling
+    # (reference examples/time_series_classification.py:57-61,216-217)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     results = {}
+    if os.path.exists(args.out) and not args.fresh:
+        with open(args.out, "rb") as f:
+            results = pickle.load(f)
+        done = {k[0] for k in results}
+        names = [n for n in names if n not in done]
+        if done:
+            print(f"resuming; already done: {sorted(done)}")
+
     for name in names:
         try:
             run_dataset(name, args, results)
         except Exception as e:  # dataset unavailable (e.g. offline)
             print(f"{name}: skipped ({type(e).__name__}: {e})", flush=True)
+        with open(args.out, "wb") as f:
+            pickle.dump(results, f)
 
-    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-    with open(args.out, "wb") as f:
-        pickle.dump(results, f)
     print(f"results -> {args.out}")
 
 

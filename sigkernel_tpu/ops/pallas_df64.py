@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, _ix, _pad_shear,
-                            _extract_final, _stack_to_diags)
+                            _extract_final, _stack_to_grid)
 from ..utils import ceil_to
 
 DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
@@ -324,12 +324,13 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
     B = inc3.shape[0]
     MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
     skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3, dyadic_order)
+    Tp = skh.shape[0]
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=True)
     diag_h, diag_l = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((n_steps,) + slab, jnp.float32),
-                   jax.ShapeDtypeStruct((n_steps,) + slab, jnp.float32)),
+        out_shape=(jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
+                   jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
@@ -337,9 +338,11 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(skh, skl)
-    dh = _stack_to_diags(diag_h, row_axis, MM, B).astype(jnp.float64)
-    dl = _stack_to_diags(diag_l, row_axis, MM, B).astype(jnp.float64)
-    return scan_solver.unskew_grid(dh + dl, MM, NN)
+    Kh = _stack_to_grid(diag_h, row_axis, MM, NN, B).astype(jnp.float64)
+    # lo plane carries the correction term: its boundary is exactly zero
+    Kl = _stack_to_grid(diag_l, row_axis, MM, NN, B,
+                        boundary=0.0).astype(jnp.float64)
+    return Kh + Kl
 
 
 @functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))

@@ -195,24 +195,27 @@ def _pad_shear(inc: jnp.ndarray, dma_batch: int):
     """(B, MM, NN) -> sheared (n_steps_pad, *slab) + geometry.
 
     ``out[q, ..row i.., ..pair b..] = inc[b, i-1, q-i+1]`` (zeros out of
-    range; axis order per layout). Shearing is pad+reshape (no gather).
+    range; axis order per layout). Shearing is pad+reshape (no gather), with
+    every intermediate padded to lane/sublane multiples BEFORE the copies:
+    unaligned minor dims make TPU copies/transposes ~10x slower and
+    dominated the whole solve before this.
     """
     B, MM, NN = inc.shape
     n_steps = MM + NN - 1
     row_axis, slab, b_pad = _layout(B, MM)
-    S = scan_solver.shear_rows(inc)            # (B, MM, n_steps)
-    S = jnp.pad(S, ((0, 0), (1, 0), (0, 0)))   # row i = a + 1 -> (B, MM+1, T)
-    if row_axis == 0:  # (n_steps, L_rows, P_lanes)
+    # aligned shear width; also serves as the padded step count (a multiple
+    # of 128 is a multiple of any dma_batch used here)
+    Tp = ceil_to(n_steps, max(LANES, dma_batch))
+    S = scan_solver.shear_rows(inc, out_width=Tp)  # (B, MM, Tp), aligned rows
+    # pad pairs and rows (top 1 row realises the i = a + 1 shift) to the
+    # full slab dims BEFORE transposing, so the transpose is all-aligned
+    rows_dim = slab[0] if row_axis == 0 else slab[1]
+    pairs_dim = slab[1] if row_axis == 0 else slab[0]
+    S = jnp.pad(S, ((0, pairs_dim - B), (1, rows_dim - (MM + 1)), (0, 0)))
+    if row_axis == 0:  # -> (Tp, L_rows, P_lanes)
         sk = jnp.transpose(S, (2, 1, 0))
-        sk = jnp.pad(sk, ((0, 0), (0, slab[0] - (MM + 1)),
-                          (0, slab[1] - B)))
-    else:              # (n_steps, P_sub, L_lanes)
+    else:              # -> (Tp, P_sub, L_lanes)
         sk = jnp.transpose(S, (2, 0, 1))
-        sk = jnp.pad(sk, ((0, 0), (0, slab[0] - B),
-                          (0, slab[1] - (MM + 1))))
-    pad_steps = ceil_to(n_steps, dma_batch) - n_steps
-    if pad_steps:
-        sk = jnp.pad(sk, ((0, pad_steps), (0, 0), (0, 0)))
     return sk, n_steps, row_axis, slab
 
 
@@ -261,6 +264,33 @@ def _stack_to_diags(diags, row_axis, MM, B):
     return diags[:, :B, :MM + 1]
 
 
+def _stack_to_grid(stack, row_axis, MM, NN, B, boundary=1.0):
+    """Diagonal stack ``(Tp, *slab)`` -> solution grids ``(B, MM+1, NN+1)``.
+
+    Aligned inverse shear: transpose the (128-padded) stack so every minor
+    dim is lane-aligned, then recover ``K[b, i, j] = D[b, i, i + j - 2]``
+    with the flat-stride trick (view row length ``Tp + 1``), writing
+    lane-aligned rows and slicing afterwards. Junk in the padded step rows
+    is unreachable for valid ``(i, j)``.
+    """
+    Tp = stack.shape[0]
+    if row_axis == 0:   # (Tp, L, P) -> (P, L, Tp)
+        D = jnp.transpose(stack, (2, 1, 0))
+    else:               # (Tp, P, L) -> (P, L, Tp)
+        D = jnp.transpose(stack, (1, 2, 0))
+    P_dim, L_dim, _ = D.shape
+    W = Tp + 1
+    flat = D.reshape(P_dim, L_dim * Tp)
+    flat = jnp.pad(flat, ((0, 0), (2, L_dim * W - L_dim * Tp - 2)))
+    Wk = min(ceil_to(NN + 1, LANES), W)
+    K = flat.reshape(P_dim, L_dim, W)[:, :MM + 1, :Wk]
+    i = jnp.arange(MM + 1)[:, None]
+    j = jnp.arange(Wk)[None, :]
+    K = jnp.where((i == 0) | (j == 0),
+                  jnp.asarray(boundary, K.dtype), K)
+    return K[:B, :, :NN + 1]
+
+
 def _solve_final_one(inc3: jnp.ndarray, naive: bool,
                      dyadic_order: int = 0) -> jnp.ndarray:
     inc3 = dyadic_refine(inc3, dyadic_order)  # f32 repeat + exact scale
@@ -289,11 +319,12 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
     inc3 = dyadic_refine(inc3, dyadic_order)  # f32 repeat + exact scale
     B, MM, NN = inc3.shape
     sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
+    Tp = sk.shape[0]
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=True)
     diags = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_steps,) + slab, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
@@ -304,8 +335,7 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(sk)
-    diags = _stack_to_diags(diags, row_axis, MM, B)  # (n_steps, B, MM+1)
-    return scan_solver.unskew_grid(diags, MM, NN)
+    return _stack_to_grid(diags, row_axis, MM, NN, B)
 
 
 @functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))

@@ -56,24 +56,30 @@ def get_scheme(naive: bool):
 # Diagonal (skewed) layout helpers
 # ---------------------------------------------------------------------------
 
-def shear_rows(x: jnp.ndarray) -> jnp.ndarray:
+def shear_rows(x: jnp.ndarray, out_width: Optional[int] = None) -> jnp.ndarray:
     """Shear a grid so anti-diagonals become columns -- WITHOUT a gather.
 
-    ``(..., R, C) -> (..., R, T)`` with ``T = R + C - 1`` and
+    ``(..., R, C) -> (..., R, W)`` with ``W >= T = R + C - 1`` and
     ``out[..., a, t] = x[..., a, t - a]`` (zero out of the valid band).
 
     Implemented as pad + flatten + truncate + reshape: padding each row to
-    width ``T + 1`` makes consecutive rows' flat offsets differ by one more
-    than the output row stride ``T``, which realises the per-row shift. This
+    width ``W + 1`` makes consecutive rows' flat offsets differ by one more
+    than the output row stride ``W``, which realises the per-row shift. This
     lowers to plain copies -- XLA gathers at these sizes run ~10x slower
     than memcpy on TPU and dominate the whole solve.
+
+    The stride relation holds for ANY ``W >= T``; pass a lane-aligned
+    ``out_width`` (multiple of 128) so the reshape copy writes aligned rows
+    -- the natural odd ``T`` makes it ~10x slower on TPU.
     """
     *batch, R, C = x.shape
     T = R + C - 1
-    W0 = T + 1
+    W = T if out_width is None else out_width
+    assert W >= T
+    W0 = W + 1
     xp = jnp.pad(x, [(0, 0)] * len(batch) + [(0, 0), (0, W0 - C)])
-    flat = xp.reshape(*batch, R * W0)[..., : R * T]
-    return flat.reshape(*batch, R, T)
+    flat = xp.reshape(*batch, R * W0)[..., : R * W]
+    return flat.reshape(*batch, R, W)
 
 
 def unshear_rows(D: jnp.ndarray, NN: int) -> jnp.ndarray:

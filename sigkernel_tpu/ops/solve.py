@@ -98,6 +98,12 @@ def _solve_grid(inc, naive, solver, dyadic_order):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def _solve_flat(inc: jnp.ndarray, naive: bool, solver: str,
+                dyadic_order: int):
+    """custom_vjp core over a flat ``(B, M-1, N-1)`` batch."""
+    return _solve_final(inc, naive, solver, dyadic_order)
+
+
 def solve(inc: jnp.ndarray, naive: bool = False, solver: str = "auto",
           dyadic_order: int = 0):
     """Solve the Goursat PDE on the *base* increment grid ``inc``
@@ -105,8 +111,15 @@ def solve(inc: jnp.ndarray, naive: bool = False, solver: str = "auto",
 
     Returns the signature-kernel values ``K[..., -1, -1]`` with the batch
     shape of ``inc``. Differentiable in ``inc`` via the adjoint PDE solve.
+
+    Batch dims are flattened around the core: with >1 batch dims (the Gram
+    case) XLA's layout assignment may otherwise tile the minor batch axes
+    onto lanes/sublanes, inflating the big grid temporaries up to 16x.
     """
-    return _solve_final(inc, naive, solver, dyadic_order)
+    batch_shape = inc.shape[:-2]
+    flat = inc.reshape((-1,) + inc.shape[-2:])
+    out = _solve_flat(flat, naive, solver, dyadic_order)
+    return out.reshape(batch_shape)
 
 
 def _collapse_refined(KK, dyadic_order, dtype):
@@ -133,7 +146,7 @@ def _solve_bwd(naive, solver, dyadic_order, inc, g):
     return (_collapse_refined(KK, dyadic_order, inc.dtype),)
 
 
-solve.defvjp(_solve_fwd, _solve_bwd)
+_solve_flat.defvjp(_solve_fwd, _solve_bwd)
 
 
 def solve_with_grid(inc: jnp.ndarray, naive: bool = False,

@@ -35,9 +35,23 @@ def _pad_rows(X: jnp.ndarray, n: int):
     return X, b
 
 
+def _mesh_solver(mesh: Mesh, solver: str) -> str:
+    """Resolve ``auto`` against the *mesh's* devices, not the default
+    backend: a CPU dry-run mesh can coexist with a registered TPU plugin,
+    and Pallas kernels must not be traced for CPU shards."""
+    if solver != "auto":
+        return solver
+    try:
+        platform = mesh.devices.flat[0].platform
+    except Exception:
+        return "scan"
+    return "auto" if platform in ("tpu", "axon") else "scan"
+
+
 def sharded_sig_kernel(static_kernel, X, Y, mesh: Mesh, dyadic_order=0,
                        naive=False, solver="auto", axis="data"):
     """Pairwise kernel with the batch axis sharded across ``mesh[axis]``."""
+    solver = _mesh_solver(mesh, solver)
     n = mesh.shape[axis]
     Xp, b = _pad_rows(X, n)
     Yp, _ = _pad_rows(Y, n)
@@ -55,6 +69,7 @@ def sharded_sig_gram(static_kernel, X, Y, mesh: Mesh, dyadic_order=0,
                      sym=False, naive=False, solver="auto", axis="data",
                      max_batch: Optional[int] = None):
     """Gram matrix with rows sharded across ``mesh[axis]``, ``Y`` replicated."""
+    solver = _mesh_solver(mesh, solver)
     n = mesh.shape[axis]
     Xp, bx = _pad_rows(X, n)
 
@@ -80,6 +95,7 @@ def sharded_sig_mmd(static_kernel, X, Y, mesh: Mesh, dyadic_order=0,
     replicated opposite operand, reduces locally, and ``psum``s the three
     statistics -- the full Gram never exists in one HBM.
     """
+    solver = _mesh_solver(mesh, solver)
     n = mesh.shape[axis]
     m_x, m_y = X.shape[0], Y.shape[0]
     Xp, _ = _pad_rows(X, n)
