@@ -31,9 +31,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, _ix, _pad_shear,
-                            _extract_final, _stack_to_grid)
-from ..utils import ceil_to
+from .pallas_solver import (MAX_ROWS, _ix, _pad_shear, _extract_final,
+                            _stack_to_grid)
 
 DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
 
@@ -318,8 +317,6 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
 
 def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
                     dyadic_order: int = 0) -> jnp.ndarray:
-    from . import scan_solver
-
     f = 2 ** dyadic_order
     B = inc3.shape[0]
     MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f

@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 import jax.scipy.linalg as jsl
 
-from .sigkernel import SigKernel, sig_gram, sig_mmd
+from .sigkernel import sig_gram, sig_mmd
 
 
 def c_alpha(m: int, alpha: float) -> float:

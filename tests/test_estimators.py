@@ -120,3 +120,19 @@ def test_derivatives_match_fd_of_kernel(rng, kernel):
     fd2 = (Kp - 2 * K0 + Km) / (eps * eps)
     np.testing.assert_allclose(np.asarray(Kd), fd1, rtol=2e-2, atol=1e-5)
     np.testing.assert_allclose(np.asarray(Kdd), fd2, rtol=5e-2, atol=1e-3)
+
+
+def test_longpath_stress_config(rng, kernel):
+    """BASELINE.json stress shape (scaled down in batch): dyadic_order=2
+    exceeds any per-thread grid limit the reference CUDA backend had."""
+    X = jnp.asarray(make_paths(rng, 2, 40, 5))
+    y = jnp.asarray(make_paths(rng, 1, 40, 5))
+    s = sk.sig_scoring_rule(kernel, X, y, dyadic_order=2, max_batch=None)
+    assert np.isfinite(float(s))
+
+
+def test_solver_explicit_scan_matches_auto(rng, kernel):
+    X = jnp.asarray(make_paths(rng, 3, 7, 2))
+    a = np.asarray(sk.sig_kernel(kernel, X, X, solver="auto"))
+    b = np.asarray(sk.sig_kernel(kernel, X, X, solver="scan"))
+    np.testing.assert_allclose(a, b, rtol=1e-12)

@@ -97,3 +97,34 @@ def test_truncated_sig_kernel_symmetry():
     # PSD-ish: eigenvalues nonnegative up to roundoff
     w = np.linalg.eigvalsh(K)
     assert w.min() > -1e-8
+
+
+def test_stroke_augment():
+    # stroke data: list of strokes, each a list of [x, y] rows
+    char = [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0]]]
+    out = T.Stroke_Augment().fit_transform([char])[0]
+    assert out.shape == (3, 3)
+    np.testing.assert_array_equal(out[:, 2], [0.0, 0.0, 1.0])
+
+
+def test_ink_augment():
+    char = [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0]]]
+    out = T.Ink_Augment().fit_transform([char])[0]
+    assert out.shape == (3, 3)
+    # ink counter increments within strokes, not after the last point
+    np.testing.assert_array_equal(out[:, 2], [0.0, 1.0, 1.0])
+
+
+def test_pen_augment():
+    char = [[[0.0, 0.0], [1.0, 1.0]], [[2.0, 2.0]]]
+    out = T.Pen_Augment().fit_transform([char])[0]
+    # pen markers around strokes, first/last trimmed
+    assert out.shape[1] == 3
+    assert {0.0, 1.0} >= set(np.unique(out[:, 2]))
+
+
+def test_white_noise_stats():
+    rng = np.random.default_rng(5)
+    w = T.white(10000, 2, time=1.0, rng=rng)
+    assert w.shape == (10000, 2)
+    np.testing.assert_allclose(w.std(), np.sqrt(1.0 / 10000), rtol=0.05)
