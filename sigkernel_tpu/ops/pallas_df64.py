@@ -31,13 +31,15 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import (MAX_ROWS, _ix, _pad_shear, _extract_final,
-                            _stack_to_grid)
+from .pallas_solver import (MAX_ROWS, _ix, _maybe_transpose, _pad_shear,
+                            _extract_final, _stack_to_grid)
 
 DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
 
 
 def supported(inc: jnp.ndarray) -> bool:
+    """TPU + f64 + shorter refined side within VMEM (transpose covariance
+    lets long rectangular grids solve transposed)."""
     try:
         platform = jax.devices()[0].platform
     except Exception:
@@ -49,7 +51,7 @@ def supported(inc: jnp.ndarray) -> bool:
     MM, NN = inc.shape[-2], inc.shape[-1]
     if MM == 0 or NN == 0:
         return False
-    return MM + 1 <= MAX_ROWS
+    return min(MM, NN) + 1 <= MAX_ROWS
 
 
 # ---------------------------------------------------------------------------
@@ -352,6 +354,9 @@ def solve_final(inc: jnp.ndarray, naive: bool = False,
     f = 2 ** dyadic_order
     MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
     inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float64)
+    inc3, t = _maybe_transpose(inc3, MM)
+    if t:
+        MM, NN = NN, MM
     out = _chunk_map(functools.partial(_solve_final_one, naive=naive,
                                        dyadic_order=dyadic_order),
                      inc3, pair_chunk(MM, NN, planes=2))
@@ -368,7 +373,11 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False,
     f = 2 ** dyadic_order
     MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
     inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float64)
+    inc3, transposed = _maybe_transpose(inc3, MM)
+    MMs, NNs = (NN, MM) if transposed else (MM, NN)
     grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive,
                                         dyadic_order=dyadic_order),
-                      inc3, pair_chunk(MM, NN, planes=2))
+                      inc3, pair_chunk(MMs, NNs, planes=2))
+    if transposed:
+        grid = jnp.swapaxes(grid, -1, -2)
     return grid.reshape(batch_shape + (MM + 1, NN + 1))

@@ -48,7 +48,12 @@ PS_LAYOUT_MAX_B = 64
 
 
 def supported(inc: jnp.ndarray) -> bool:
-    """Gate for the auto dispatcher: TPU backend + f32 + fits in VMEM."""
+    """Gate for the auto dispatcher: TPU backend + f32 + fits in VMEM.
+
+    Only the SHORTER grid side must fit: the recurrence is exactly
+    transpose-covariant (``K(inc^T) = K(inc)^T`` -- k01/k10 enter as a sum),
+    so long rectangular problems are solved transposed.
+    """
     try:
         platform = jax.devices()[0].platform
     except Exception:
@@ -60,7 +65,17 @@ def supported(inc: jnp.ndarray) -> bool:
     MM, NN = inc.shape[-2], inc.shape[-1]
     if MM == 0 or NN == 0:
         return False
-    return MM + 1 <= MAX_ROWS
+    return min(MM, NN) + 1 <= MAX_ROWS
+
+
+def _maybe_transpose(inc3: jnp.ndarray, refined_rows: int):
+    """Solve with the shorter side as the diagonal axis (VMEM bound).
+
+    ``refined_rows``: the post-refinement row count the kernel would see.
+    """
+    if refined_rows + 1 <= MAX_ROWS:
+        return inc3, False
+    return jnp.swapaxes(inc3, -1, -2), True
 
 
 def _scheme(k00, k01, k10, u, naive):
@@ -347,6 +362,9 @@ def solve_final(inc: jnp.ndarray, naive: bool = False,
     f = 2 ** dyadic_order
     MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
     inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float32)
+    inc3, t = _maybe_transpose(inc3, MM)  # final corner transpose-invariant
+    if t:
+        MM, NN = NN, MM
     out = _chunk_map(functools.partial(_solve_final_one, naive=naive,
                                        dyadic_order=dyadic_order),
                      inc3, pair_chunk(MM, NN))
@@ -363,7 +381,11 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False,
     f = 2 ** dyadic_order
     MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
     inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float32)
+    inc3, transposed = _maybe_transpose(inc3, MM)
+    MMs, NNs = (NN, MM) if transposed else (MM, NN)
     grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive,
                                         dyadic_order=dyadic_order),
-                      inc3, pair_chunk(MM, NN))
+                      inc3, pair_chunk(MMs, NNs))
+    if transposed:
+        grid = jnp.swapaxes(grid, -1, -2)  # K(inc^T)^T == K(inc), exactly
     return grid.reshape(batch_shape + (MM + 1, NN + 1))

@@ -59,3 +59,17 @@ def test_pallas_large_batch_padding(rng):
     want = np.asarray(scan_solver.solve_final(inc))
     got = np.asarray(pallas_solver.solve_final(inc))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+def test_pallas_transposes_long_rectangular(rng, monkeypatch):
+    """Grids whose row count exceeds the VMEM bound are solved transposed
+    (exact by transpose covariance). Exercised by shrinking MAX_ROWS."""
+    from sigkernel_tpu.ops import pallas_solver as ps
+    monkeypatch.setattr(ps, "MAX_ROWS", 16)
+    inc = jnp.asarray(rng.normal(size=(2, 30, 8)) * 0.1, dtype=jnp.float32)
+    want = np.asarray(scan_solver.solve_final(inc))
+    got = np.asarray(ps.solve_final(inc))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+    wantg = np.asarray(scan_solver.solve_grid(inc))
+    gotg = np.asarray(ps.solve_grid(inc))
+    np.testing.assert_allclose(gotg, wantg, rtol=2e-6, atol=2e-6)

@@ -51,3 +51,16 @@ def test_df64_grid_matches_scan(rng):
     want = np.asarray(scan_solver.solve_grid(inc))
     got = np.asarray(pallas_df64.solve_grid(inc))
     np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+
+
+def test_df64_transposes_long_rectangular(rng, monkeypatch):
+    from sigkernel_tpu.ops import pallas_solver as ps, pallas_df64 as pd
+    monkeypatch.setattr(ps, "MAX_ROWS", 16)
+    monkeypatch.setattr(pd, "MAX_ROWS", 16)
+    inc = jnp.asarray(rng.normal(size=(2, 24, 7)) * 0.1)
+    want = np.asarray(scan_solver.solve_final(inc))
+    got = np.asarray(pd.solve_final(inc))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-13)
+    wantg = np.asarray(scan_solver.solve_grid(inc))
+    gotg = np.asarray(pd.solve_grid(inc))
+    np.testing.assert_allclose(gotg, wantg, rtol=1e-12, atol=1e-13)
