@@ -1,0 +1,65 @@
+"""Fused-increment linear-kernel solve vs the general pipeline."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import sigkernel_tpu as sk
+from sigkernel_tpu.ops import pallas_fused
+
+from conftest import make_paths
+
+ON_TPU = bool(os.environ.get("SIGKERNEL_TEST_TPU"))
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if ON_TPU:
+        yield
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+
+
+@pytest.mark.parametrize("dyadic_order", [0, 1])
+@pytest.mark.parametrize("lx,ly", [(6, 6), (5, 9), (9, 5)])
+def test_fused_pairwise_matches_general(rng, dyadic_order, lx, ly):
+    X = jnp.asarray(make_paths(rng, 3, lx, 2), jnp.float32)
+    Y = jnp.asarray(make_paths(rng, 3, ly, 2), jnp.float32)
+    want = np.asarray(sk.sig_kernel(sk.LinearKernel(), X, Y,
+                                    dyadic_order=dyadic_order,
+                                    solver="scan", max_batch=None))
+    got = np.asarray(pallas_fused.solve_final_linear(
+        X, Y, dyadic_order=dyadic_order))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_scale_and_naive(rng):
+    X = jnp.asarray(make_paths(rng, 2, 7, 3), jnp.float32)
+    want = np.asarray(sk.sig_kernel(sk.LinearKernel(scale=0.5), X, X,
+                                    naive=True, solver="scan",
+                                    max_batch=None))
+    got = np.asarray(pallas_fused.solve_final_linear(X, X, scale=0.5,
+                                                     naive=True))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_gram_matches_general(rng):
+    X = jnp.asarray(make_paths(rng, 3, 6, 2), jnp.float32)
+    Y = jnp.asarray(make_paths(rng, 4, 8, 2), jnp.float32)
+    want = np.asarray(sk.sig_gram(sk.LinearKernel(), X, Y, solver="scan",
+                                  max_batch=None))
+    got = np.asarray(pallas_fused.gram_linear_f32(X, Y))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_fused_chunking(rng, monkeypatch):
+    from sigkernel_tpu.ops import pallas_fused as pf
+    monkeypatch.setattr(pf, "FUSED_CHUNK", 4)
+    X = jnp.asarray(make_paths(rng, 10, 6, 2), jnp.float32)
+    want = np.asarray(sk.sig_kernel(sk.LinearKernel(), X, X,
+                                    solver="scan", max_batch=None))
+    got = np.asarray(pf.solve_final_linear(X, X))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
