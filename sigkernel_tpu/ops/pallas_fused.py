@@ -166,3 +166,171 @@ def gram_linear_f32(X: jnp.ndarray, Y: jnp.ndarray, scale=1.0,
     vals = solve_final_linear(Xp, Yp, scale=scale, dyadic_order=dyadic_order,
                               naive=naive)
     return vals.reshape(A, B)
+
+
+# ---------------------------------------------------------------------------
+# Fused RBF (dyadic_order = 0): increments from rolling exp-Gram diagonals
+# ---------------------------------------------------------------------------
+
+def _fused_rbf_kernel(px_ref, ypts_ref, sxa_ref, syrow_ref, ry0_ref,
+                      sys0_ref, g0_ref, out_ref, state, ry, sys, gd,
+                      *, n_steps, MM, N, D, inv_sigma, naive):
+    """Increments generated in-kernel for the RBF static kernel.
+
+    ``G[a, b] = exp((2<x_a, y_b> - |x_a|^2 - |y_b|^2) / sigma)`` on the base
+    point grid; the double difference of ``G`` is assembled from three
+    rolling G-diagonals (``p``, ``p+1``, ``p+2``). The inner-product diagonal
+    uses the same rolling shift register as the linear fusion, over path
+    POINTS instead of increments.
+
+    px_ref: (D, P, L) with PX[d, b, a] = x[b, a, d].
+    ypts_ref: (D, P, Ly) y points (insert source). sxa_ref: (P, L) |x_a|^2.
+    syrow_ref: (P, Ly) |y_b|^2. ry0/sys0: initial registers (state for
+    diagonal p=1). g0_ref: (2, P, L) initial G diagonals p=0,1.
+    Scratch: state (2,P,L) solution ping-pong; ry (D,P,L) point register;
+    sys (P,L) |y|^2 register; gd (3,P,L) rolling G diagonals.
+    """
+    P, L = state.shape[1], state.shape[2]
+    ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    one = jnp.float32(1.0)
+
+    state[0] = jnp.ones((P, L), jnp.float32)
+    state[1] = jnp.ones((P, L), jnp.float32)
+    for d in range(D):
+        ry[d] = ry0_ref[d]
+    sys[...] = sys0_ref[...]
+    gd[0] = g0_ref[0]   # G diagonal p = q   (starts at p=0)
+    gd[1] = g0_ref[1]   # G diagonal p = q+1 (starts at p=1)
+
+    def body(q, _):
+        # advance the point registers to hold y[q+2-a] at position a
+        ip = jnp.zeros((P, L), jnp.float32)
+        in_range = q + 2 < N
+        for d in range(D):
+            r = pltpu.roll(ry[d], jnp.int32(1), axis=1)
+            head = jnp.where(
+                in_range,
+                jax.lax.dynamic_slice(
+                    ypts_ref[d], (_ix(0), _ix(jnp.minimum(q + 2, N - 1))),
+                    (P, 1)),
+                jnp.zeros((P, 1), jnp.float32))
+            r = jax.lax.dynamic_update_slice(r, head, (_ix(0), _ix(0)))
+            ry[d] = r
+            ip = ip + px_ref[d] * r
+        s = pltpu.roll(sys[...], jnp.int32(1), axis=1)
+        shead = jnp.where(
+            in_range,
+            jax.lax.dynamic_slice(
+                syrow_ref[...], (_ix(0), _ix(jnp.minimum(q + 2, N - 1))),
+                (P, 1)),
+            jnp.zeros((P, 1), jnp.float32))
+        s = jax.lax.dynamic_update_slice(s, shead, (_ix(0), _ix(0)))
+        sys[...] = s
+
+        # new G diagonal p = q+2 and the double difference
+        g_new = jnp.exp((2.0 * ip - sxa_ref[...] - s)
+                        * jnp.float32(inv_sigma))
+        s2 = lax.rem(q, jnp.int32(3))          # slot of diagonal p = q
+        s1 = lax.rem(q + 1, jnp.int32(3))      # p = q+1
+        s0 = lax.rem(q + 2, jnp.int32(3))      # p = q+2 (to be written)
+        g_q = gd[s2]
+        g_q1 = gd[s1]
+        u = (g_new + pltpu.roll(g_q, jnp.int32(1), axis=1)
+             - g_q1 - pltpu.roll(g_q1, jnp.int32(1), axis=1))
+        gd[s0] = g_new
+
+        vm2_s = lax.rem(q, jnp.int32(2))
+        vm1_s = 1 - vm2_s
+        vm1 = state[vm1_s]
+        k10 = vm1
+        k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+        k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
+        v = _scheme(k00, k01, k10, u, naive)
+        mask = (ii == 0) | (ii == q + 2) | (ii > MM)
+        state[vm2_s] = jnp.where(mask, one, v)
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), body, 0)
+    out_ref[...] = state[(n_steps - 1) % 2]
+
+
+def _rbf_one(xy, M, N, D, inv_sigma, naive):
+    x, y = xy  # (chunk, M, D) f32 points, (chunk, N, D)
+    B = x.shape[0]
+    MM, NN = M - 1, N - 1
+    n_steps = MM + NN - 1
+    P = ceil_to(B, SUBLANES)
+    L = ceil_to(M, LANES)
+    Ly = ceil_to(N, LANES)
+
+    xp = jnp.pad(x, ((0, P - B), (0, L - M), (0, 0)))
+    yp = jnp.pad(y, ((0, P - B), (0, Ly - N), (0, 0)))
+    PX = jnp.moveaxis(xp, -1, 0)                  # (D, P, L): x[b, a, d]
+    YP = jnp.moveaxis(yp, -1, 0)                  # (D, P, Ly)
+    SxA = jnp.sum(xp * xp, axis=-1)               # (P, L)
+    SyR = jnp.sum(yp * yp, axis=-1)               # (P, Ly)
+
+    # registers as they must look BEFORE the q=0 advance (state for p=1):
+    # ry[a] = y[1-a]: positions 0,1 hold y[1], y[0]
+    y0 = yp[:, 0, :]
+    y1 = yp[:, 1, :] if N > 1 else jnp.zeros_like(y0)
+    ry0 = jnp.zeros((B if False else P, L, D), jnp.float32)
+    ry0 = ry0.at[:, 0, :].set(y1).at[:, 1, :].set(y0)
+    ry0 = jnp.moveaxis(ry0, -1, 0)                # (D, P, L)
+    sys0 = jnp.zeros((P, L), jnp.float32)
+    sys0 = sys0.at[:, 0].set(jnp.sum(y1 * y1, -1))
+    sys0 = sys0.at[:, 1].set(jnp.sum(y0 * y0, -1))
+
+    def g_of(a_pts, b_pts):  # exp kernel of two (P, D) point sets
+        d2 = jnp.sum((a_pts - b_pts) ** 2, axis=-1)
+        return jnp.exp(-d2 * jnp.float32(inv_sigma))
+
+    x0 = xp[:, 0, :]
+    x1 = xp[:, 1, :] if M > 1 else jnp.zeros_like(x0)
+    g0 = jnp.zeros((2, P, L), jnp.float32)
+    g0 = g0.at[0, :, 0].set(g_of(x0, y0))                    # G[0,0]
+    g0 = g0.at[1, :, 0].set(g_of(x0, y1))                    # G[0,1]
+    g0 = g0.at[1, :, 1].set(g_of(x1, y0))                    # G[1,0]
+
+    kernel = functools.partial(_fused_rbf_kernel, n_steps=n_steps, MM=MM,
+                               N=N, D=D, inv_sigma=inv_sigma, naive=naive)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, L), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 7,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((D, P, L), jnp.float32),
+            pltpu.VMEM((P, L), jnp.float32),
+            pltpu.VMEM((3, P, L), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(PX, YP, SxA, SyR, ry0, sys0, g0)
+    return out[:B, MM]
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "naive"))
+def solve_final_rbf(X: jnp.ndarray, Y: jnp.ndarray, sigma,
+                    naive: bool = False) -> jnp.ndarray:
+    """Fused pairwise RBF solve at dyadic_order=0: ``K_sig(X^i, Y^i)``.
+
+    ``X``: (B, len_x, D), ``Y``: (B, len_y, D). Returns (B,).
+    """
+    B, M, D = X.shape
+    N = Y.shape[1]
+    inv_sigma = float(1.0 / sigma)  # static: baked into the kernel
+    x = X.astype(jnp.float32)
+    y = Y.astype(jnp.float32)
+
+    if B <= FUSED_CHUNK:
+        return _rbf_one((x, y), M, N, D, inv_sigma, naive)
+    Bp = ceil_to(B, FUSED_CHUNK)
+    x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
+    y = jnp.pad(y, ((0, Bp - B), (0, 0), (0, 0)))
+    nc = Bp // FUSED_CHUNK
+    out = jax.lax.map(
+        lambda c: _rbf_one(c, M, N, D, inv_sigma, naive),
+        (x.reshape(nc, FUSED_CHUNK, M, D), y.reshape(nc, FUSED_CHUNK, N, D)))
+    return out.reshape(Bp)[:B]

@@ -63,3 +63,24 @@ def test_fused_chunking(rng, monkeypatch):
                                     solver="scan", max_batch=None))
     got = np.asarray(pf.solve_final_linear(X, X))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("lx,ly", [(6, 6), (5, 9), (9, 5)])
+def test_fused_rbf_matches_general(rng, lx, ly):
+    from sigkernel_tpu.ops import pallas_fused as pf
+    X = jnp.asarray(make_paths(rng, 3, lx, 2), jnp.float32)
+    Y = jnp.asarray(make_paths(rng, 3, ly, 2), jnp.float32)
+    want = np.asarray(sk.sig_kernel(sk.RBFKernel(0.5), X, Y,
+                                    solver="scan", max_batch=None))
+    got = np.asarray(pf.solve_final_rbf(X, Y, sigma=0.5))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_rbf_chunking(rng, monkeypatch):
+    from sigkernel_tpu.ops import pallas_fused as pf
+    monkeypatch.setattr(pf, "FUSED_CHUNK", 4)
+    X = jnp.asarray(make_paths(rng, 9, 7, 3), jnp.float32)
+    want = np.asarray(sk.sig_kernel(sk.RBFKernel(1.0), X, X,
+                                    solver="scan", max_batch=None))
+    got = np.asarray(pf.solve_final_rbf(X, X, sigma=1.0))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
