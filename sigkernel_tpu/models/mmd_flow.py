@@ -37,21 +37,60 @@ def mmd_flow_step(static_kernel, X, Y, lr=0.05, dyadic_order=0, naive=False,
 
 
 class MMDFlow:
-    """Convenience wrapper running the flow for ``n_steps``."""
+    """Convenience wrapper running the flow for ``n_steps``.
+
+    ``checkpoint_dir`` enables orbax-backed checkpoint/resume: particle
+    state and history are saved every ``checkpoint_every`` steps and
+    ``fit`` resumes from the latest step found (the reference has only
+    app-level pickling, examples/time_series_classification.py:216-217).
+    """
 
     def __init__(self, static_kernel, dyadic_order=0, lr=0.05,
-                 naive=False, solver="auto"):
+                 naive=False, solver="auto", checkpoint_dir=None,
+                 checkpoint_every=10):
         self.static_kernel = static_kernel
         self.dyadic_order = dyadic_order
         self.lr = lr
         self.naive = naive
         self.solver = solver
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = checkpoint_every
+
+    def _checkpointer(self):
+        import orbax.checkpoint as ocp
+        return ocp.StandardCheckpointer()
+
+    def _ckpt_path(self, step):
+        import os
+        return os.path.abspath(
+            os.path.join(self.checkpoint_dir, f"step_{step:08d}"))
+
+    def _latest_step(self):
+        import os
+        import re
+        if not (self.checkpoint_dir and os.path.isdir(self.checkpoint_dir)):
+            return None
+        steps = [int(m.group(1)) for f in os.listdir(self.checkpoint_dir)
+                 if (m := re.fullmatch(r"step_(\d{8})", f))]
+        return max(steps) if steps else None
 
     def fit(self, X0, Y, n_steps=100, callback=None):
+        import numpy as np
+
         X = jnp.asarray(X0)
         Y = jnp.asarray(Y)
         history = []
-        for t in range(n_steps):
+        start = 0
+
+        if self.checkpoint_dir is not None:
+            latest = self._latest_step()
+            if latest is not None:
+                state = self._checkpointer().restore(self._ckpt_path(latest))
+                X = jnp.asarray(state["X"])
+                history = list(np.asarray(state["history"]))
+                start = latest + 1
+
+        for t in range(start, n_steps):
             X, value = mmd_flow_step(
                 self.static_kernel, X, Y, lr=self.lr,
                 dyadic_order=self.dyadic_order, naive=self.naive,
@@ -59,4 +98,12 @@ class MMDFlow:
             history.append(float(value))
             if callback is not None:
                 callback(t, X, value)
+            if (self.checkpoint_dir is not None
+                    and ((t + 1) % self.checkpoint_every == 0
+                         or t == n_steps - 1)):
+                ck = self._checkpointer()
+                ck.save(self._ckpt_path(t),
+                        {"X": np.asarray(X),
+                         "history": np.asarray(history)})
+                ck.wait_until_finished()  # StandardCheckpointer is async
         return X, history

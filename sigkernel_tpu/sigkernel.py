@@ -22,7 +22,7 @@ from jax import lax
 
 from .ops import scan_solver
 from .ops.solve import solve
-from .utils import increment_grid, double_difference
+from .utils import increment_grid, double_difference, pad_length
 
 
 # ---------------------------------------------------------------------------
@@ -44,11 +44,18 @@ def _pad_batch(X: jnp.ndarray, chunk: int):
 # ---------------------------------------------------------------------------
 
 def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
-               solver="auto", max_batch: Optional[int] = 100):
+               solver="auto", max_batch: Optional[int] = 100,
+               length_bucket: Optional[int] = None):
     """Pairwise signature kernel ``k_sig(X^i, Y^i)`` -> shape ``(batch,)``.
 
     Parity: reference ``SigKernel.compute_kernel`` (sigkernel.py:23-40).
+    ``length_bucket``: pad path lengths up to this multiple by repeating the
+    final point -- exact (zero increments are no-ops) and cuts recompiles
+    across irregular-length datasets.
     """
+    if length_bucket:
+        X = pad_length(X, length_bucket)
+        Y = pad_length(Y, length_bucket)
     def tile_fn(xy):
         x, y = xy
         G = static_kernel.batch_kernel(x, y)
@@ -93,13 +100,18 @@ def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
 
 
 def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
-             solver="auto", max_batch: Optional[int] = 100):
+             solver="auto", max_batch: Optional[int] = 100,
+             length_bucket: Optional[int] = None):
     """Signature-kernel Gram matrix ``k_sig(X^i, Y^j)`` -> ``(bx, by)``.
 
     Parity: reference ``SigKernel.compute_Gram`` (sigkernel.py:92-128).
     With ``sym=True`` (caller asserts ``Y is X`` semantically, as in the
     reference) only the upper triangle is solved and mirrored.
+    ``length_bucket``: exact length padding (see :func:`sig_kernel`).
     """
+    if length_bucket:
+        X = pad_length(X, length_bucket)
+        Y = pad_length(Y, length_bucket)
     if sym and X.shape == Y.shape:
         return _gram_sym_triangle(static_kernel, X, dyadic_order, naive,
                                   solver, max_batch)

@@ -51,3 +51,24 @@ def refined_size(length: int, dyadic_order: int) -> int:
 def ceil_to(x: int, m: int) -> int:
     """Round ``x`` up to a multiple of ``m``."""
     return -(-x // m) * m
+
+
+def pad_length(X, multiple: int):
+    """Pad paths along the length axis by repeating the final point.
+
+    A repeated point produces zero increments, which are exact no-ops for
+    both PDE schemes and for any static kernel (the duplicated Gram
+    row/column differences away), so bucketing path lengths to shape
+    multiples is mathematically free. Cuts jit recompiles across datasets
+    of irregular lengths.
+    """
+    import jax.numpy as jnp
+
+    n = X.shape[-2]
+    rem = (-n) % multiple
+    if rem == 0:
+        return X
+    last = X[..., -1:, :]
+    reps = [1] * X.ndim
+    reps[-2] = rem
+    return jnp.concatenate([X, jnp.tile(last, reps)], axis=-2)

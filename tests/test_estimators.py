@@ -136,3 +136,16 @@ def test_solver_explicit_scan_matches_auto(rng, kernel):
     a = np.asarray(sk.sig_kernel(kernel, X, X, solver="auto"))
     b = np.asarray(sk.sig_kernel(kernel, X, X, solver="scan"))
     np.testing.assert_allclose(a, b, rtol=1e-12)
+
+
+def test_length_bucketing_is_exact(rng, kernel):
+    """Padding by repeating the final point is an exact no-op."""
+    X = jnp.asarray(make_paths(rng, 3, 11, 2))
+    Y = jnp.asarray(make_paths(rng, 3, 13, 2))
+    a = np.asarray(sk.sig_kernel(kernel, X, Y, dyadic_order=1))
+    b = np.asarray(sk.sig_kernel(kernel, X, Y, dyadic_order=1,
+                                 length_bucket=16))
+    np.testing.assert_allclose(b, a, rtol=1e-12)
+    ga = np.asarray(sk.sig_gram(kernel, X, Y))
+    gb = np.asarray(sk.sig_gram(kernel, X, Y, length_bucket=8))
+    np.testing.assert_allclose(gb, ga, rtol=1e-12)

@@ -54,3 +54,21 @@ def test_mmd_flow_step_jits(rng):
     X1, v = mmd_flow_step(sk.RBFKernel(1.0), X, Y, lr=0.1)
     assert X1.shape == X.shape
     assert np.isfinite(float(v))
+
+
+def test_mmd_flow_checkpoint_resume(rng, tmp_path):
+    Y = jnp.asarray(make_paths(rng, 6, 6, 2, scale=1.0))
+    X0 = jnp.asarray(make_paths(rng, 6, 6, 2, scale=0.2))
+    kern = sk.RBFKernel(0.5)
+
+    full = MMDFlow(kern, lr=0.1)
+    X_full, h_full = full.fit(X0, Y, n_steps=6)
+
+    ckdir = str(tmp_path / "flow_ckpt")
+    flow = MMDFlow(kern, lr=0.1, checkpoint_dir=ckdir, checkpoint_every=2)
+    flow.fit(X0, Y, n_steps=3)          # partial run, checkpoints at 2, 3
+    X_res, h_res = flow.fit(X0, Y, n_steps=6)   # resumes, finishes
+
+    np.testing.assert_allclose(np.asarray(X_res), np.asarray(X_full),
+                               rtol=1e-10)
+    np.testing.assert_allclose(h_res, h_full, rtol=1e-10)
