@@ -22,6 +22,7 @@ from jax import lax
 
 from .ops import scan_solver
 from .ops.solve import solve
+from . import kernels as _kernels
 from .utils import increment_grid, double_difference, pad_length
 
 
@@ -43,6 +44,23 @@ def _pad_batch(X: jnp.ndarray, chunk: int):
 # Core computations
 # ---------------------------------------------------------------------------
 
+def _fused_pairwise(static_kernel, X, Y, dyadic_order, naive):
+    """Route to the in-kernel increment solvers (forward-only, f32)."""
+    from .ops import pallas_fused
+
+    if type(static_kernel) is _kernels.LinearKernel:
+        return pallas_fused.solve_final_linear(
+            X, Y, scale=static_kernel.scale, dyadic_order=dyadic_order,
+            naive=naive)
+    if type(static_kernel) is _kernels.RBFKernel and dyadic_order == 0:
+        return pallas_fused.solve_final_rbf(
+            X, Y, sigma=float(static_kernel.sigma), naive=naive)
+    raise ValueError(
+        "solver='fused' supports LinearKernel (any dyadic_order) and "
+        f"RBFKernel at dyadic_order=0; got {type(static_kernel).__name__} "
+        f"with dyadic_order={dyadic_order}")
+
+
 def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
                solver="auto", max_batch: Optional[int] = 100,
                length_bucket: Optional[int] = None):
@@ -56,6 +74,10 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
     if length_bucket:
         X = pad_length(X, length_bucket)
         Y = pad_length(Y, length_bucket)
+
+    if solver == "fused":
+        return _fused_pairwise(static_kernel, X, Y, dyadic_order, naive)
+
     def tile_fn(xy):
         x, y = xy
         G = static_kernel.batch_kernel(x, y)
@@ -115,6 +137,13 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
     if sym and X.shape == Y.shape:
         return _gram_sym_triangle(static_kernel, X, dyadic_order, naive,
                                   solver, max_batch)
+
+    if solver == "fused":
+        A, B = X.shape[0], Y.shape[0]
+        Xp = jnp.repeat(X, B, axis=0)
+        Yp = jnp.tile(Y, (A, 1, 1))
+        vals = _fused_pairwise(static_kernel, Xp, Yp, dyadic_order, naive)
+        return vals.reshape(A, B)
 
     def tile_fn(x, y):
         G = static_kernel.Gram_matrix(x, y)

@@ -84,3 +84,23 @@ def test_fused_rbf_chunking(rng, monkeypatch):
                                     solver="scan", max_batch=None))
     got = np.asarray(pf.solve_final_rbf(X, X, sigma=1.0))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_solver_fused_api_route(rng):
+    X = jnp.asarray(make_paths(rng, 3, 6, 2), jnp.float32)
+    want = np.asarray(sk.sig_kernel(sk.LinearKernel(), X, X, solver="scan",
+                                    max_batch=None))
+    got = np.asarray(sk.sig_kernel(sk.LinearKernel(), X, X, solver="fused"))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+    g_want = np.asarray(sk.sig_gram(sk.RBFKernel(0.5), X, X, solver="scan",
+                                    max_batch=None))
+    g_got = np.asarray(sk.sig_gram(sk.RBFKernel(0.5), X, X, solver="fused"))
+    np.testing.assert_allclose(g_got, g_want, rtol=2e-4, atol=2e-5)
+
+
+def test_solver_fused_rejects_unsupported(rng):
+    X = jnp.asarray(make_paths(rng, 2, 5, 2), jnp.float32)
+    with pytest.raises(ValueError, match="fused"):
+        sk.sig_kernel(sk.RBFKernel(0.5), X, X, solver="fused",
+                      dyadic_order=1)
