@@ -389,3 +389,109 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False,
     if transposed:
         grid = jnp.swapaxes(grid, -1, -2)  # K(inc^T)^T == K(inc), exactly
     return grid.reshape(batch_shape + (MM + 1, NN + 1))
+
+
+# ---------------------------------------------------------------------------
+# Sheared-space adjoint: dd cotangent straight from the diagonal stacks
+# ---------------------------------------------------------------------------
+
+def _solve_stack_one(inc3: jnp.ndarray, naive: bool,
+                     dyadic_order: int = 0):
+    """Like :func:`_solve_grid_one` but returns the raw diagonal stack
+    ``(Tp, *slab)`` (plus geometry) without unshearing."""
+    inc3 = dyadic_refine(inc3, dyadic_order)
+    B, MM, NN = inc3.shape
+    sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
+    Tp = sk.shape[0]
+    kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
+                               row_axis=row_axis, naive=naive, grid_out=True)
+    stack = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + slab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(sk)
+    return stack
+
+
+def adjoint_dd(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
+               dyadic_order: int = 0) -> jnp.ndarray:
+    """Refined-increment cotangent without materialising solution grids.
+
+    Computes ``dd_cot[a, b] = g * K[a, b] * K_rev[MM-1-a, NN-1-b]`` entirely
+    in sheared (diagonal-stack) space: the forward and reversed stacks are
+    aligned by full-axis flips and rolls (junk regions never read), boundary
+    diagonals are patched with ones, and one inverse shear recovers the
+    refined cotangent grid. Replaces two grid unshears + two grid buffers.
+
+    ``inc3``: base increments ``(B, M-1, N-1)`` (any float dtype; compute is
+    f32). ``g``: ``(B,)`` output cotangent. Returns refined f32 cotangent
+    ``(B, MM, NN)``.
+    """
+    inc32 = inc3.astype(jnp.float32)
+    f = 2 ** dyadic_order
+    MM = inc3.shape[-2] * f
+    NN = inc3.shape[-1] * f
+    if MM + 1 > MAX_ROWS:  # transpose covariance: dd_cot(inc^T)^T == dd_cot
+        out = adjoint_dd(jnp.swapaxes(inc3, -1, -2), g, naive, dyadic_order)
+        return jnp.swapaxes(out, -1, -2)
+    T = MM + NN - 1
+
+    chunk = pair_chunk(MM, NN)
+    B = inc32.shape[0]
+
+    def one(args):
+        inc_c, g_c = args
+        Bc = inc_c.shape[0]
+        row_axis, slab, _ = _layout(Bc, MM)
+        S_f = _solve_stack_one(inc_c, naive, dyadic_order)        # (Tp,*slab)
+        S_r = _solve_stack_one(
+            jnp.flip(jnp.flip(inc_c, -1), -2), naive, dyadic_order)
+        Tp = S_f.shape[0]
+        r_ax = 1 + row_axis  # stack axis carrying rows (pairs on the other)
+        L_rows = S_f.shape[r_ax]
+
+        # A1[q, i] = K[i-1, q-i+1] = S_f[q-2, i-1]; q<2 are boundary ones
+        A1 = jnp.roll(S_f, 2, axis=0)
+        A1 = jnp.roll(A1, 1, axis=r_ax)
+        qs = jnp.arange(Tp).reshape((Tp, 1, 1))
+        A1 = jnp.where(qs < 2, jnp.float32(1.0), A1)
+
+        # A2[q, i] = K_rev[MM-i, NN-q+i-2] = S_r[T-3-q, MM-i];
+        # q in {T-2, T-1} hit K_rev's boundary (ones)
+        A2 = jnp.flip(S_r, axis=0)
+        A2 = jnp.roll(A2, -(Tp - T + 2), axis=0)     # step T-3-q at q
+        A2 = jnp.flip(A2, axis=r_ax)
+        A2 = jnp.roll(A2, -(L_rows - (MM + 1)), axis=r_ax)  # row MM-i at i
+        A2 = jnp.where((qs >= T - 2) & (qs < T), jnp.float32(1.0), A2)
+
+        gb = g_c.astype(jnp.float32)
+        pair_ax = 3 - r_ax  # the other slab axis
+        shape = [1, 1, 1]
+        shape[pair_ax] = Bc
+        gb = gb.reshape(shape)
+        pad = [(0, 0), (0, 0), (0, 0)]
+        pad[pair_ax] = (0, S_f.shape[pair_ax] - Bc)
+        gb = jnp.pad(gb, pad)    # zero for padded pairs; broadcasts on rows
+        P = A1 * A2 * gb
+
+        # dd_cot[a, b] = P[a+b, a+1]: the K-grid unshear shifted by one
+        grid = _stack_to_grid(P, row_axis, MM, NN, Bc)
+        return grid[:, 1:, 1:]
+
+    if B <= chunk:
+        return one((inc32, g))
+    Bp = ceil_to(B, chunk)
+    inc_p = jnp.pad(inc32, ((0, Bp - B), (0, 0), (0, 0)))
+    g_p = jnp.pad(g.astype(jnp.float32), (0, Bp - B))
+    nc = Bp // chunk
+    out = jax.lax.map(one, (inc_p.reshape(nc, chunk, *inc32.shape[1:]),
+                            g_p.reshape(nc, chunk)))
+    return out.reshape(Bp, MM, NN)[:B]

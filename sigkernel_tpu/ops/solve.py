@@ -137,6 +137,13 @@ def _solve_fwd(inc, naive, solver, dyadic_order):
 
 
 def _solve_bwd(naive, solver, dyadic_order, inc, g):
+    s = _resolve(solver, inc, dyadic_order)
+    if s in ("pallas", "pallas_df64"):
+        # sheared-space adjoint: both sweeps stay as diagonal stacks; no
+        # solution grid is ever materialised (f32 backward, see module doc)
+        KK = pallas_solver.adjoint_dd(inc, g, naive=naive,
+                                      dyadic_order=dyadic_order)
+        return (_collapse_refined(KK, dyadic_order, inc.dtype),)
     grid = _solve_grid(inc, naive, solver, dyadic_order)
     inc_rev = jnp.flip(jnp.flip(inc, axis=-1), axis=-2)
     grid_rev = _solve_grid(inc_rev, naive, solver, dyadic_order)

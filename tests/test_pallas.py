@@ -73,3 +73,41 @@ def test_pallas_transposes_long_rectangular(rng, monkeypatch):
     wantg = np.asarray(scan_solver.solve_grid(inc))
     gotg = np.asarray(ps.solve_grid(inc))
     np.testing.assert_allclose(gotg, wantg, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("dyadic_order", [0, 1])
+@pytest.mark.parametrize("shape", [(3, 6, 6), (2, 5, 9), (2, 9, 5)])
+def test_sheared_adjoint_matches_grid_route(rng, dyadic_order, shape):
+    """adjoint_dd (stack-space backward) == the grid-materialising formula."""
+    from sigkernel_tpu.ops import scan_solver as ss
+    from sigkernel_tpu.utils import dyadic_refine
+
+    B = shape[0]
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+
+    got = np.asarray(pallas_solver.adjoint_dd(inc, g, naive=False,
+                                              dyadic_order=dyadic_order))
+
+    ref_inc = dyadic_refine(inc, dyadic_order)
+    grid = np.asarray(ss.solve_grid(ref_inc))
+    grid_rev = np.asarray(ss.solve_grid(
+        jnp.flip(jnp.flip(ref_inc, -1), -2)))[..., ::-1, ::-1]
+    want = (grid[..., :-1, :-1] * grid_rev[..., 1:, 1:]
+            * np.asarray(g)[:, None, None])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+def test_sheared_adjoint_transposes_long_rectangular(rng, monkeypatch):
+    from sigkernel_tpu.ops import pallas_solver as ps
+    from sigkernel_tpu.ops import scan_solver as ss
+    monkeypatch.setattr(ps, "MAX_ROWS", 16)
+    inc = jnp.asarray(rng.normal(size=(2, 30, 8)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2,)), jnp.float32)
+    got = np.asarray(ps.adjoint_dd(inc, g, naive=False))
+    grid = np.asarray(ss.solve_grid(inc))
+    grid_rev = np.asarray(ss.solve_grid(
+        jnp.flip(jnp.flip(inc, -1), -2)))[..., ::-1, ::-1]
+    want = (grid[..., :-1, :-1] * grid_rev[..., 1:, 1:]
+            * np.asarray(g)[:, None, None])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
