@@ -140,3 +140,29 @@ def sharded_sig_mmd(static_kernel, X, Y, mesh: Mesh, dyadic_order=0,
     return (s_xx / (m_x * (m_x - 1.0))
             + s_yy / (m_y * (m_y - 1.0))
             - 2.0 * s_xy / (m_x * m_y))
+
+
+def sharded_sig_gram_2d(static_kernel, X, Y, mesh: Mesh, dyadic_order=0,
+                        naive=False, solver="auto",
+                        axes=("rows", "cols"),
+                        max_batch: Optional[int] = None):
+    """Gram matrix over a 2-D mesh: the ``(A, B)`` tile grid itself is
+    sharded -- rows of X along ``axes[0]``, rows of Y along ``axes[1]`` --
+    so each chip owns an ``(A/r, B/c)`` tile and nothing is replicated
+    except the opposite operand's shard (the direct analogue of the
+    reference CUDA backend's 2-D block grid, cuda_backend.py:124-125,
+    across chips instead of SM blocks)."""
+    solver = _mesh_solver(mesh, solver)
+    ra, ca = axes
+    r, c = mesh.shape[ra], mesh.shape[ca]
+    Xp, bx = _pad_rows(X, r)
+    Yp, by = _pad_rows(Y, c)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(ra), P(ca)), out_specs=P(ra, ca))
+    def run(x, y):
+        return sig_gram(static_kernel, x, y, dyadic_order=dyadic_order,
+                        sym=False, naive=naive, solver=solver,
+                        max_batch=max_batch)
+
+    return run(Xp, Yp)[:bx, :by]

@@ -64,3 +64,14 @@ def test_sharded_mmd_grad(rng, mesh):
         lambda x: sk.sig_mmd(k, x, Y, dyadic_order=0, max_batch=None))(X)
     np.testing.assert_allclose(np.asarray(g_dist), np.asarray(g_local),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_sharded_gram_2d_matches_local(rng):
+    from sigkernel_tpu.parallel import make_mesh, sharded_sig_gram_2d
+    mesh2d = make_mesh(axis_names=("rows", "cols"), shape=(2, 4))
+    X = jnp.asarray(make_paths(rng, 6, 7, 2))
+    Y = jnp.asarray(make_paths(rng, 10, 8, 2))
+    k = sk.RBFKernel(0.5)
+    local = np.asarray(sk.sig_gram(k, X, Y, dyadic_order=1))
+    dist = np.asarray(sharded_sig_gram_2d(k, X, Y, mesh2d, dyadic_order=1))
+    np.testing.assert_allclose(dist, local, rtol=1e-12)
