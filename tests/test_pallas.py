@@ -111,3 +111,22 @@ def test_sheared_adjoint_transposes_long_rectangular(rng, monkeypatch):
     want = (grid[..., :-1, :-1] * grid_rev[..., 1:, 1:]
             * np.asarray(g)[:, None, None])
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("dyadic_order", [0, 1])
+def test_grad_through_pallas_solver_matches_scan(rng, dyadic_order,
+                                                 monkeypatch):
+    """The full custom_vjp route with the pallas tier (sheared-space
+    backward) must match the scan-tier gradient."""
+    from sigkernel_tpu.ops.solve import solve
+    from sigkernel_tpu.ops import pallas_solver as ps
+
+    # the platform gate says no on CPU; force the tier (interpret mode)
+    monkeypatch.setattr(ps, "supported",
+                        lambda probe: probe.dtype == jnp.float32)
+
+    inc = jnp.asarray(rng.normal(size=(3, 5, 7)) * 0.1, jnp.float32)
+    g_pal = jax.grad(lambda u: solve(u, False, "pallas", dyadic_order).sum())(inc)
+    g_scan = jax.grad(lambda u: solve(u, False, "scan", dyadic_order).sum())(inc)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_scan),
+                               rtol=2e-4, atol=2e-6)
