@@ -357,8 +357,8 @@ def solve_final(inc: jnp.ndarray, naive: bool = False,
     inc3, t = _maybe_transpose(inc3, MM)
     if t:
         MM, NN = NN, MM
-    out = _chunk_map(functools.partial(_solve_final_one, naive=naive,
-                                       dyadic_order=dyadic_order),
+    out = _chunk_map(lambda c: _solve_final_one(c, naive=naive,
+                                                dyadic_order=dyadic_order),
                      inc3, pair_chunk(MM, NN, planes=2))
     return out.reshape(batch_shape)
 
@@ -375,8 +375,8 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False,
     inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float64)
     inc3, transposed = _maybe_transpose(inc3, MM)
     MMs, NNs = (NN, MM) if transposed else (MM, NN)
-    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive,
-                                        dyadic_order=dyadic_order),
+    grid = _chunk_map(lambda c: _solve_grid_one(c, naive=naive,
+                                                dyadic_order=dyadic_order),
                       inc3, pair_chunk(MMs, NNs, planes=2))
     if transposed:
         grid = jnp.swapaxes(grid, -1, -2)

@@ -58,8 +58,9 @@ def _fused_kernel(dx_ref, dy_ref, out_ref, state, sreg,
             s = pltpu.roll(sreg[d], jnp.int32(1), axis=1)
             head = jnp.where(
                 q + 1 < NN,
-                jax.lax.dynamic_slice(dy_ref[d], (_ix(0), _ix(q + 1)),
-                                      (P, 1)),
+                jax.lax.dynamic_slice(
+                    dy_ref[d], (_ix(0), _ix(jnp.minimum(q + 1, NN - 1))),
+                    (P, 1)),
                 jnp.zeros((P, 1), jnp.float32))
             s = jax.lax.dynamic_update_slice(s, head, (_ix(0), _ix(0)))
             sreg[d] = s
@@ -138,18 +139,8 @@ def solve_final_linear(X: jnp.ndarray, Y: jnp.ndarray, scale=1.0,
     dy = _refined_increments(Y * jnp.asarray(scale, Y.dtype), dyadic_order)
     MM, NN = dx.shape[1], dy.shape[1]
 
-    if B <= FUSED_CHUNK:
-        return _solve_one((dx, dy), MM, NN, D, naive)
-
-    Bp = ceil_to(B, FUSED_CHUNK)
-    dx = jnp.pad(dx, ((0, Bp - B), (0, 0), (0, 0)))
-    dy = jnp.pad(dy, ((0, Bp - B), (0, 0), (0, 0)))
-    nc = Bp // FUSED_CHUNK
-    out = jax.lax.map(
-        lambda c: _solve_one(c, MM, NN, D, naive),
-        (dx.reshape(nc, FUSED_CHUNK, MM, D),
-         dy.reshape(nc, FUSED_CHUNK, NN, D)))
-    return out.reshape(Bp)[:B]
+    return _chunk_map(lambda c: _solve_one(c, MM, NN, D, naive),
+                      (dx, dy), FUSED_CHUNK)
 
 
 def gram_linear_f32(X: jnp.ndarray, Y: jnp.ndarray, scale=1.0,
@@ -274,7 +265,7 @@ def _rbf_one(xy, M, N, D, inv_sigma, naive):
     # ry[a] = y[1-a]: positions 0,1 hold y[1], y[0]
     y0 = yp[:, 0, :]
     y1 = yp[:, 1, :] if N > 1 else jnp.zeros_like(y0)
-    ry0 = jnp.zeros((B if False else P, L, D), jnp.float32)
+    ry0 = jnp.zeros((P, L, D), jnp.float32)
     ry0 = ry0.at[:, 0, :].set(y1).at[:, 1, :].set(y0)
     ry0 = jnp.moveaxis(ry0, -1, 0)                # (D, P, L)
     sys0 = jnp.zeros((P, L), jnp.float32)
@@ -324,13 +315,5 @@ def solve_final_rbf(X: jnp.ndarray, Y: jnp.ndarray, sigma,
     x = X.astype(jnp.float32)
     y = Y.astype(jnp.float32)
 
-    if B <= FUSED_CHUNK:
-        return _rbf_one((x, y), M, N, D, inv_sigma, naive)
-    Bp = ceil_to(B, FUSED_CHUNK)
-    x = jnp.pad(x, ((0, Bp - B), (0, 0), (0, 0)))
-    y = jnp.pad(y, ((0, Bp - B), (0, 0), (0, 0)))
-    nc = Bp // FUSED_CHUNK
-    out = jax.lax.map(
-        lambda c: _rbf_one(c, M, N, D, inv_sigma, naive),
-        (x.reshape(nc, FUSED_CHUNK, M, D), y.reshape(nc, FUSED_CHUNK, N, D)))
-    return out.reshape(Bp)[:B]
+    return _chunk_map(lambda c: _rbf_one(c, M, N, D, inv_sigma, naive),
+                      (x, y), FUSED_CHUNK)

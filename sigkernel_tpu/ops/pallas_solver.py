@@ -247,16 +247,19 @@ def pair_chunk(MM: int, NN: int, planes: int = 1) -> int:
     return int(min(max(c, LANES), 4096))
 
 
-def _chunk_map(fn, inc3: jnp.ndarray, chunk: int):
-    """Apply ``fn`` over pair chunks of ``(B, MM, NN)`` input."""
-    B = inc3.shape[0]
+def _chunk_map(fn, args, chunk: int):
+    """Apply ``fn`` over pair chunks of a pytree of arrays sharing their
+    leading (pair) dimension; zero-pads the tail chunk (exact no-ops)."""
+    leaves = jax.tree_util.tree_leaves(args)
+    B = leaves[0].shape[0]
     if B <= chunk:
-        return fn(inc3)
+        return fn(args)
     Bp = ceil_to(B, chunk)
-    if Bp != B:
-        inc3 = jnp.pad(inc3, ((0, Bp - B), (0, 0), (0, 0)))
-    chunks = inc3.reshape(Bp // chunk, chunk, *inc3.shape[1:])
-    out = jax.lax.map(fn, chunks)
+    args = jax.tree_util.tree_map(
+        lambda a: jnp.pad(a, [(0, Bp - B)] + [(0, 0)] * (a.ndim - 1)), args)
+    args = jax.tree_util.tree_map(
+        lambda a: a.reshape(Bp // chunk, chunk, *a.shape[1:]), args)
+    out = jax.lax.map(fn, args)
     out = out.reshape((Bp,) + out.shape[2:])
     return out[:B]
 
@@ -365,8 +368,8 @@ def solve_final(inc: jnp.ndarray, naive: bool = False,
     inc3, t = _maybe_transpose(inc3, MM)  # final corner transpose-invariant
     if t:
         MM, NN = NN, MM
-    out = _chunk_map(functools.partial(_solve_final_one, naive=naive,
-                                       dyadic_order=dyadic_order),
+    out = _chunk_map(lambda c: _solve_final_one(c, naive=naive,
+                                                dyadic_order=dyadic_order),
                      inc3, pair_chunk(MM, NN))
     return out.reshape(batch_shape)
 
@@ -383,8 +386,8 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False,
     inc3 = inc.reshape((-1,) + inc.shape[-2:]).astype(jnp.float32)
     inc3, transposed = _maybe_transpose(inc3, MM)
     MMs, NNs = (NN, MM) if transposed else (MM, NN)
-    grid = _chunk_map(functools.partial(_solve_grid_one, naive=naive,
-                                        dyadic_order=dyadic_order),
+    grid = _chunk_map(lambda c: _solve_grid_one(c, naive=naive,
+                                                dyadic_order=dyadic_order),
                       inc3, pair_chunk(MMs, NNs))
     if transposed:
         grid = jnp.swapaxes(grid, -1, -2)  # K(inc^T)^T == K(inc), exactly
@@ -486,12 +489,4 @@ def adjoint_dd(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         grid = _stack_to_grid(P, row_axis, MM, NN, Bc)
         return grid[:, 1:, 1:]
 
-    if B <= chunk:
-        return one((inc32, g))
-    Bp = ceil_to(B, chunk)
-    inc_p = jnp.pad(inc32, ((0, Bp - B), (0, 0), (0, 0)))
-    g_p = jnp.pad(g.astype(jnp.float32), (0, Bp - B))
-    nc = Bp // chunk
-    out = jax.lax.map(one, (inc_p.reshape(nc, chunk, *inc32.shape[1:]),
-                            g_p.reshape(nc, chunk)))
-    return out.reshape(Bp, MM, NN)[:B]
+    return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)

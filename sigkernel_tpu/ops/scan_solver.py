@@ -212,6 +212,12 @@ def solve_derivatives_final(inc: jnp.ndarray,
     batch_shape = inc.shape[:-2]
     dtype = inc.dtype
 
+    if MM == 0 or NN == 0:
+        # degenerate (length-1) path: K == 1 on the boundary, derivatives 0
+        one = jnp.ones(batch_shape, dtype)
+        zero = jnp.zeros(batch_shape, dtype)
+        return one, zero, zero
+
     xs = (skew_increments(inc), skew_increments(inc_d),
           skew_increments(inc_dd), jnp.arange(2, MM + NN + 1))
     ii = jnp.arange(MM + 1)

@@ -90,9 +90,8 @@ def _solve_grid(inc, naive, solver, dyadic_order):
         return pallas_solver.solve_grid(inc, naive=naive,
                                         dyadic_order=dyadic_order)
     if s == "pallas_df64":
-        # f32 backward grids: see module docstring (gradient precision)
-        return pallas_solver.solve_grid(inc.astype(jnp.float32), naive=naive,
-                                        dyadic_order=dyadic_order)
+        return pallas_df64.solve_grid(inc, naive=naive,
+                                      dyadic_order=dyadic_order)
     return scan_solver.solve_grid(dyadic_refine(inc, dyadic_order),
                                   naive=naive)
 
@@ -144,9 +143,13 @@ def _solve_bwd(naive, solver, dyadic_order, inc, g):
         KK = pallas_solver.adjoint_dd(inc, g, naive=naive,
                                       dyadic_order=dyadic_order)
         return (_collapse_refined(KK, dyadic_order, inc.dtype),)
-    grid = _solve_grid(inc, naive, solver, dyadic_order)
+    # one batched sweep over [inc; flip(inc)]: the scan is sequential in
+    # n_steps, so doubling the (vectorised) batch halves backward latency
     inc_rev = jnp.flip(jnp.flip(inc, axis=-1), axis=-2)
-    grid_rev = _solve_grid(inc_rev, naive, solver, dyadic_order)
+    both = _solve_grid(jnp.concatenate([inc, inc_rev], axis=0), naive,
+                       solver, dyadic_order)
+    B = inc.shape[0]
+    grid, grid_rev = both[:B], both[B:]
     grid_rev = jnp.flip(jnp.flip(grid_rev, axis=-1), axis=-2)
     KK = grid[..., :-1, :-1] * grid_rev[..., 1:, 1:]
     KK = g[..., None, None].astype(KK.dtype) * KK
