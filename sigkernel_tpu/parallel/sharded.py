@@ -26,13 +26,7 @@ from jax import shard_map
 from ..sigkernel import sig_kernel, sig_gram
 
 
-def _pad_rows(X: jnp.ndarray, n: int):
-    b = X.shape[0]
-    rem = (-b) % n
-    if rem:
-        X = jnp.concatenate(
-            [X, jnp.zeros((rem,) + X.shape[1:], X.dtype)], axis=0)
-    return X, b
+from ..utils import pad_batch as _pad_rows  # shared leading-axis padding
 
 
 def _mesh_solver(mesh: Mesh, solver: str) -> str:

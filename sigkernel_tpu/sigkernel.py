@@ -30,14 +30,7 @@ from .utils import increment_grid, double_difference, pad_length
 # Chunking helpers (static shapes; replaces reference's recursive halving)
 # ---------------------------------------------------------------------------
 
-def _pad_batch(X: jnp.ndarray, chunk: int):
-    """Pad the leading axis up to a multiple of ``chunk``. Returns (Xp, n)."""
-    n = X.shape[0]
-    rem = (-n) % chunk
-    if rem:
-        pad = jnp.zeros((rem,) + X.shape[1:], X.dtype)
-        X = jnp.concatenate([X, pad], axis=0)
-    return X, n
+from .utils import pad_batch as _pad_batch  # shared leading-axis padding
 
 
 # ---------------------------------------------------------------------------
@@ -111,12 +104,20 @@ def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
 
     A = X.shape[0]
     iu, ju = np.triu_indices(A)
-    Xi = X[iu]
-    Xj = X[ju]
-    vals = sig_kernel(static_kernel, Xi, Xj, dyadic_order=dyadic_order,
-                      naive=naive, solver=solver,
-                      max_batch=None if max_batch is None
-                      else max_batch * max_batch)
+    n_pairs = iu.shape[0]
+    chunk = n_pairs if max_batch is None else max_batch * max_batch
+
+    vals_parts = []
+    for s in range(0, n_pairs, chunk):
+        # gather only this chunk's path copies (bounds HBM to ~chunk paths;
+        # gathering all A(A+1)/2 pairs up front OOMs for large A)
+        iu_c = iu[s:s + chunk]
+        ju_c = ju[s:s + chunk]
+        vals_parts.append(sig_kernel(
+            static_kernel, X[iu_c], X[ju_c], dyadic_order=dyadic_order,
+            naive=naive, solver=solver, max_batch=None))
+    vals = vals_parts[0] if len(vals_parts) == 1 \
+        else jnp.concatenate(vals_parts)
     K = jnp.zeros((A, A), vals.dtype).at[iu, ju].set(vals)
     return K + K.T - jnp.diag(jnp.diag(K))
 
@@ -140,9 +141,15 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
 
     if solver == "fused":
         A, B = X.shape[0], Y.shape[0]
-        Xp = jnp.repeat(X, B, axis=0)
-        Yp = jnp.tile(Y, (A, 1, 1))
-        vals = _fused_pairwise(static_kernel, Xp, Yp, dyadic_order, naive)
+        rows_per = max(1, (max_batch or A * B) // max(B, 1))
+        parts = []
+        for s in range(0, A, rows_per):
+            xs = X[s:s + rows_per]
+            Xp = jnp.repeat(xs, B, axis=0)
+            Yp = jnp.tile(Y, (xs.shape[0], 1, 1))
+            parts.append(_fused_pairwise(static_kernel, Xp, Yp,
+                                         dyadic_order, naive))
+        vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         return vals.reshape(A, B)
 
     def tile_fn(x, y):
@@ -184,6 +191,10 @@ def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
     ``eps=1e-4`` finite differences; pass a float ``eps`` for FD parity mode.
     Returns three ``(bx, by)`` arrays ``(K, K_diff, K_diffdiff)``.
     """
+    if solver not in ("auto", "scan", "pallas"):
+        raise ValueError(
+            f"unknown solver {solver!r} for the derivatives path; the fused "
+            "triple solve currently runs the scan tier on all backends")
     f = lambda x: static_kernel.Gram_matrix(x, Y)
     if eps is None:
         G, dG = jax.jvp(f, (X,), (gamma,))

@@ -29,7 +29,11 @@ def hypothesis_test(y_pred, y_test, static_kernel, confidence_level=0.99,
     """
     m = max(y_pred.shape[0], y_test.shape[0])
     TU = sig_mmd(static_kernel, y_pred, y_test, dyadic_order=dyadic_order)
-    c = c_alpha(m, confidence_level)
+    # divergence from the reference: c_alpha expects the SIGNIFICANCE level
+    # alpha, but the reference feeds it the confidence level (0.99), making
+    # the threshold ~20x too small and the test reject almost always
+    # (reference sigkernel.py:633-635)
+    c = c_alpha(m, 1.0 - confidence_level)
     rejected = bool(TU > c)
     if verbose:
         if rejected:

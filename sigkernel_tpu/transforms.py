@@ -41,12 +41,21 @@ def transform(paths, at=False, ll=False, scale=1.0):
 
 
 def normalize(sigs, width, depth):
-    """Factorial rescaling of truncated signatures (reference transformers.py:20)."""
+    """Factorial rescaling of truncated signatures (reference transformers.py:20).
+
+    Divergence from the reference: the level-``k+1`` block starts at
+    ``sum_{j<=k} width^j = width (width^k - 1) / (width - 1)`` -- the
+    reference omits the ``/(width-1)`` (transformers.py:26), silently
+    rescaling the wrong slices for any ``width > 2``.
+    """
     new_sigs = []
     for sig in sigs:
         new_sig = np.zeros_like(sig)
         for k in range(depth):
-            lo = width * (width ** k - 1)
+            if width == 1:
+                lo = k
+            else:
+                lo = width * (width ** k - 1) // (width - 1)
             new_sig[lo:lo + width ** (k + 1)] = (
                 math.factorial(k + 1) * sig[lo:lo + width ** (k + 1)]
             )
@@ -65,7 +74,10 @@ class AddTime(BaseEstimator, TransformerMixin):
         return self
 
     def transform_instance(self, X):
-        t = np.linspace(self.init_time, self.init_time + 1, len(X))
+        # divergence from the reference: honour total_time (the reference
+        # hard-codes init_time + 1, transformers.py:39)
+        t = np.linspace(self.init_time, self.init_time + self.total_time,
+                        len(X))
         return np.c_[t, X]
 
     def transform(self, X, y=None):

@@ -72,3 +72,15 @@ def pad_length(X, multiple: int):
     reps = [1] * X.ndim
     reps[-2] = rem
     return jnp.concatenate([X, jnp.tile(last, reps)], axis=-2)
+
+
+def pad_batch(X, multiple: int):
+    """Zero-pad the leading axis to a multiple; returns ``(padded, n)``."""
+    import jax.numpy as jnp
+
+    n = X.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        X = jnp.concatenate(
+            [X, jnp.zeros((rem,) + X.shape[1:], X.dtype)], axis=0)
+    return X, n
