@@ -128,3 +128,20 @@ def test_white_noise_stats():
     w = T.white(10000, 2, time=1.0, rng=rng)
     assert w.shape == (10000, 2)
     np.testing.assert_allclose(w.std(), np.sqrt(1.0 / 10000), rtol=0.05)
+
+
+def test_normalize_width3_offsets():
+    """Level blocks for width=3: [0:3] level1, [3:12] level2 (the reference's
+    offset formula lands level 2 at index 6, corrupting the rescaling)."""
+    width, depth = 3, 2
+    size = 3 + 9
+    sig = np.ones((1, size))
+    out = T.normalize(sig, width, depth)[0]
+    np.testing.assert_array_equal(out[:3], np.full(3, 1.0))   # 1! * level 1
+    np.testing.assert_array_equal(out[3:12], np.full(9, 2.0))  # 2! * level 2
+
+
+def test_addtime_total_time():
+    X = [np.zeros((5, 1))]
+    out = T.AddTime(total_time=5.0).fit_transform(X)[0]
+    np.testing.assert_allclose(out[:, 0], np.linspace(0, 5, 5))
