@@ -88,5 +88,39 @@ def main():
     }))
 
 
+def _run_with_watchdog():
+    """Run the benchmark in a child process with a timeout.
+
+    The TPU relay in this environment can wedge in a way that blocks even
+    ``import jax`` indefinitely; a hung benchmark would leave the driver with
+    nothing. The parent stays jax-free, forwards the child's JSON line on
+    success, and emits an honest zero-valued line on timeout/failure.
+    """
+    import subprocess
+    import sys
+
+    try:
+        out = subprocess.run(
+            [sys.executable, "-u", __file__, "--inner"],
+            capture_output=True, text=True, timeout=45 * 60)
+        for line in reversed((out.stdout or "").splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return
+    except subprocess.TimeoutExpired:
+        pass
+    print(json.dumps({
+        "metric": "gram_pairs_per_sec_fwd_bwd_len1024_dyadic1_f64",
+        "value": 0.0,
+        "unit": "path-pairs/s (benchmark did not complete: TPU unavailable)",
+        "vs_baseline": 0.0,
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--inner" in sys.argv:
+        main()
+    else:
+        _run_with_watchdog()
