@@ -34,11 +34,12 @@ import numpy as np
 
 A100_MODEL_PAIRS_PER_S = 19000.0
 
-LENGTH = 1024
-DYADIC = 1
+# sizes overridable for smoke-testing the harness itself on CPU
+LENGTH = int(os.environ.get("SIGBENCH_LENGTH", 1024))
+DYADIC = int(os.environ.get("SIGBENCH_DYADIC", 1))
 DIM = 3
-PAIRS_A = 8
-PAIRS_B = 8
+PAIRS_A = int(os.environ.get("SIGBENCH_PAIRS", 8))
+PAIRS_B = int(os.environ.get("SIGBENCH_PAIRS", 8))
 DTYPE = "float64"
 
 
