@@ -116,7 +116,10 @@ def solve(inc: jnp.ndarray, naive: bool = False, solver: str = "auto",
     onto lanes/sublanes, inflating the big grid temporaries up to 16x.
     """
     batch_shape = inc.shape[:-2]
-    flat = inc.reshape((-1,) + inc.shape[-2:])
+    # explicit batch size: -1 cannot be inferred when a trailing dim is 0
+    # (length-1 paths produce a (..., 0, 0) increment grid)
+    import math
+    flat = inc.reshape((math.prod(batch_shape),) + inc.shape[-2:])
     out = _solve_flat(flat, naive, solver, dyadic_order)
     return out.reshape(batch_shape)
 

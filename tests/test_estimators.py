@@ -149,3 +149,16 @@ def test_length_bucketing_is_exact(rng, kernel):
     ga = np.asarray(sk.sig_gram(kernel, X, Y))
     gb = np.asarray(sk.sig_gram(kernel, X, Y, length_bucket=8))
     np.testing.assert_allclose(gb, ga, rtol=1e-12)
+
+
+def test_length_one_paths_are_boundary(rng, kernel):
+    """Length-1 paths give the degenerate (0, 0) increment grid: K == 1.
+
+    Regression: the solve() batch flattening used an inferred -1, which
+    cannot be derived when a trailing dim is zero (ZeroDivisionError).
+    """
+    X = jnp.asarray(make_paths(rng, 4, 10, 3))
+    k = np.asarray(sk.sig_kernel(kernel, X[:, :1, :], X[:, :1, :]))
+    np.testing.assert_allclose(k, np.ones(4), rtol=0)
+    G = np.asarray(sk.sig_gram(kernel, X[:, :1, :], X[:, :1, :]))
+    np.testing.assert_allclose(G, np.ones((4, 4)), rtol=0)
