@@ -52,6 +52,31 @@ def sig_gram_naive(X, Y, static_kernel, dyadic_order=0, _naive_solver=False):
     return _solve_np(inc, _naive_solver)[..., -1, -1]
 
 
+def sig_loss_naive(X, Y, static_kernel, dyadic_order=0, _naive_solver=False):
+    """Signature loss (paired-batch distance) via the naive loop:
+    ``mean k(X,X) + mean k(Y,Y) - 2 mean k(X,Y)`` over *paired* batches
+    (reference ``SigLoss_naive``, sigkernel.py:736-750)."""
+    k_xx = sig_kernel_naive(X, X, static_kernel, dyadic_order, _naive_solver)
+    k_yy = sig_kernel_naive(Y, Y, static_kernel, dyadic_order, _naive_solver)
+    k_xy = sig_kernel_naive(X, Y, static_kernel, dyadic_order, _naive_solver)
+    return k_xx.mean() + k_yy.mean() - 2.0 * k_xy.mean()
+
+
+class SigLoss_naive:
+    """Class-form parity shim for the reference ``SigLoss_naive`` module."""
+
+    def __init__(self, static_kernel, dyadic_order=0, _naive_solver=False):
+        self.static_kernel = static_kernel
+        self.dyadic_order = dyadic_order
+        self._naive_solver = _naive_solver
+
+    def __call__(self, X, Y):
+        return sig_loss_naive(X, Y, self.static_kernel, self.dyadic_order,
+                              self._naive_solver)
+
+    forward = __call__
+
+
 def sig_mmd_naive(X, Y, static_kernel, dyadic_order=0, _naive_solver=False):
     """Unbiased MMD^2 via the naive loop (reference sigkernel.py:790)."""
     K_XX = sig_gram_naive(X, X, static_kernel, dyadic_order, _naive_solver)

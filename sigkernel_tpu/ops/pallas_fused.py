@@ -302,18 +302,22 @@ def _rbf_one(xy, M, N, D, inv_sigma, naive):
     return out[:B, MM]
 
 
-@functools.partial(jax.jit, static_argnames=("sigma", "naive"))
+@functools.partial(jax.jit, static_argnames=("naive",))
 def solve_final_rbf(X: jnp.ndarray, Y: jnp.ndarray, sigma,
                     naive: bool = False) -> jnp.ndarray:
     """Fused pairwise RBF solve at dyadic_order=0: ``K_sig(X^i, Y^i)``.
 
-    ``X``: (B, len_x, D), ``Y``: (B, len_y, D). Returns (B,).
+    ``X``: (B, len_x, D), ``Y``: (B, len_y, D). Returns (B,). ``sigma`` stays
+    a traced operand (differentiable/jit-sweepable): the kernel bakes
+    ``inv_sigma = 1`` and the bandwidth enters by pre-scaling the points with
+    ``rsqrt(sigma)`` -- ``|x - y|^2 / sigma == |x/sqrt(sigma) - y/sqrt(sigma)|^2``
+    exactly as the kernel computes it.
     """
     B, M, D = X.shape
     N = Y.shape[1]
-    inv_sigma = float(1.0 / sigma)  # static: baked into the kernel
-    x = X.astype(jnp.float32)
-    y = Y.astype(jnp.float32)
+    r = lax.rsqrt(jnp.asarray(sigma, jnp.float32))
+    x = X.astype(jnp.float32) * r
+    y = Y.astype(jnp.float32) * r
 
-    return _chunk_map(lambda c: _rbf_one(c, M, N, D, inv_sigma, naive),
+    return _chunk_map(lambda c: _rbf_one(c, M, N, D, 1.0, naive),
                       (x, y), FUSED_CHUNK)

@@ -47,7 +47,7 @@ def _fused_pairwise(static_kernel, X, Y, dyadic_order, naive):
             naive=naive)
     if type(static_kernel) is _kernels.RBFKernel and dyadic_order == 0:
         return pallas_fused.solve_final_rbf(
-            X, Y, sigma=float(static_kernel.sigma), naive=naive)
+            X, Y, sigma=static_kernel.sigma, naive=naive)
     raise ValueError(
         "solver='fused' supports LinearKernel (any dyadic_order) and "
         f"RBFKernel at dyadic_order=0; got {type(static_kernel).__name__} "

@@ -6,7 +6,6 @@ the reference; the accelerator path starts downstream at the static kernels.
 """
 from __future__ import annotations
 
-import copy
 import math
 
 import numpy as np
@@ -128,11 +127,18 @@ class Dyadic(BaseEstimator, TransformerMixin):
         return self
 
     def transform_instance(self, X):
+        # Chunk boundaries follow numpy's array_split convention; every chunk
+        # after the first starts one row early so consecutive chunks share
+        # their boundary point (the sub-paths concatenate back to the path).
+        X = np.asarray(X)
+        n = len(X)
         n_splits = 2 ** self.depth
-        intervals = np.array_split(X, n_splits)
-        for i in range(1, len(intervals)):
-            intervals[i] = np.r_[[intervals[i - 1][-1]], intervals[i]]
-        return [as_float_array(interval) for interval in intervals]
+        base, extra = divmod(n, n_splits)
+        sizes = np.full(n_splits, base)
+        sizes[:extra] += 1
+        ends = np.cumsum(sizes)
+        starts = np.maximum(ends - sizes - (np.arange(n_splits) > 0), 0)
+        return [as_float_array(X[s:e]) for s, e in zip(starts, ends)]
 
     def transform(self, X, y=None):
         return [self.transform_instance(x) for x in X]
@@ -146,16 +152,25 @@ class PenOff(BaseEstimator, TransformerMixin):
         return self
 
     def transform_instance(self, X):
-        X_transformed = np.c_[X, np.ones(len(X))]
-        last = np.array(copy.deepcopy(X_transformed[-1]))
-        last[-1] = 0.0
-        X_transformed = np.r_[X_transformed, [last]]
-        X_transformed = np.r_[
-            np.zeros(X_transformed.shape[1]).reshape(1, -1), X_transformed]
-        return X_transformed
+        # Layout: row 0 = "home" (all zeros), rows 1..n = the path with a
+        # pen-down flag of 1, final row = the last point repeated with the
+        # flag dropped to 0 (the pen-off event).
+        X = np.asarray(X, dtype=float)
+        n, d = X.shape
+        out = np.zeros((n + 2, d + 1))
+        out[1:n + 1, :d] = X
+        out[1:n + 1, d] = 1.0
+        out[n + 1, :d] = X[-1]
+        return out
 
     def transform(self, X, Y=None):
         return [self.transform_instance(x) for x in X]
+
+
+def _strokes_to_arrays(X):
+    """Stroke data (list of strokes, each a sequence of coordinate rows)
+    -> list of float arrays of shape ``(len_stroke, d)``."""
+    return [np.asarray(c, dtype=float).reshape(len(c), -1) for c in X]
 
 
 class Stroke_Augment(BaseEstimator, TransformerMixin):
@@ -165,50 +180,62 @@ class Stroke_Augment(BaseEstimator, TransformerMixin):
         return self
 
     def transform_instance(self, X):
-        stroke = 0.0
-        output = []
-        for c in X:
-            output += [r + [stroke] for r in c]
-            stroke += 1.0
-        return np.array(output)
+        strokes = _strokes_to_arrays(X)
+        lens = [len(c) for c in strokes]
+        counter = np.repeat(np.arange(len(strokes), dtype=float), lens)
+        return np.column_stack([np.concatenate(strokes, axis=0), counter])
 
     def transform(self, X, Y=None):
         return [self.transform_instance(x) for x in X]
 
 
 class Ink_Augment(BaseEstimator, TransformerMixin):
-    """Append a cumulative ink channel (reference transformers.py:145)."""
+    """Append a cumulative ink channel (reference transformers.py:145).
+
+    The ink counter advances with every point drawn within a stroke and
+    holds still while the pen travels between strokes, so stroke ``k`` spans
+    ink values ``[sum_{j<k}(len_j - 1), sum_{j<=k}(len_j - 1)]``.
+
+    Divergence from the reference: the counter is positional. The reference
+    compares each row *by value* against the stroke's last row
+    (``if d != c[-1]``), which freezes the counter at any interior point
+    that happens to coincide with the stroke's endpoint.
+    """
 
     def fit(self, X, y=None):
         return self
 
     def transform_instance(self, X):
-        output = []
-        ink = 0.0
-        for c in X:
-            for d in c:
-                output += d + [ink]
-                if d != c[-1]:
-                    ink += 1.0
-        return np.array(output).reshape(-1, 3)
+        strokes = _strokes_to_arrays(X)
+        lens = np.array([len(c) for c in strokes])
+        bases = np.concatenate([[0], np.cumsum(lens - 1)[:-1]])
+        ink = np.concatenate(
+            [b + np.arange(n, dtype=float) for b, n in zip(bases, lens)])
+        return np.column_stack([np.concatenate(strokes, axis=0), ink])
 
     def transform(self, X, Y=None):
         return [self.transform_instance(x) for x in X]
 
 
 class Pen_Augment(BaseEstimator, TransformerMixin):
-    """Pen up/down markers around strokes (reference transformers.py:165)."""
+    """Pen up/down markers around strokes (reference transformers.py:165).
+
+    Each stroke is bracketed by copies of its first/last point flagged 1
+    (pen in the air), with the stroke body flagged 0; the leading and
+    trailing marker of the whole character are trimmed.
+    """
 
     def fit(self, X, y=None):
         return self
 
     def transform_instance(self, X):
-        output = []
-        for c in X:
-            output += [c[0] + [1.0]]
-            output += [r + [0.0] for r in c]
-            output += [c[-1] + [1.0]]
-        return np.array(output[1:-1])
+        parts = []
+        for c in _strokes_to_arrays(X):
+            body = np.column_stack([c, np.zeros(len(c))])
+            down = np.append(c[0], 1.0)[None, :]
+            up = np.append(c[-1], 1.0)[None, :]
+            parts.append(np.concatenate([down, body, up], axis=0))
+        return np.concatenate(parts, axis=0)[1:-1]
 
     def transform(self, X, Y=None):
         return [self.transform_instance(x) for x in X]
@@ -219,19 +246,16 @@ class Pen_Augment(BaseEstimator, TransformerMixin):
 # =============================================================================
 
 def white(steps, width, time=1.0, rng=None):
-    """White-noise increments; pass ``rng`` (np.random.Generator) for
-    reproducibility."""
-    sigma = math.sqrt(time / steps)
-    if rng is None:
-        return np.random.normal(0.0, sigma, (steps, width))
-    return rng.normal(0.0, sigma, (steps, width))
+    """White-noise increments with per-step variance ``time / steps``; pass
+    ``rng`` (np.random.Generator) for reproducibility."""
+    gen = np.random.default_rng() if rng is None else rng
+    return math.sqrt(time / steps) * gen.standard_normal((steps, width))
 
 
 def brownian(steps, width, time=1.0, rng=None):
     """Brownian path of shape ``(steps + 1, width)`` started at 0."""
-    path = np.zeros((steps + 1, width))
-    np.cumsum(white(steps, width, time, rng), axis=0, out=path[1:, :])
-    return path
+    walk = np.cumsum(white(steps, width, time, rng), axis=0)
+    return np.concatenate([np.zeros((1, width)), walk], axis=0)
 
 
 # =============================================================================
@@ -239,15 +263,15 @@ def brownian(steps, width, time=1.0, rng=None):
 # reference transformers.py:201-236)
 # =============================================================================
 
-def _shift_right(A, axes):
-    """Zero-fill shift by +1 along the given axes (exact integer shift;
-    replaces the reference's scipy.ndimage.shift spline call)."""
-    out = A
-    for ax in axes:
-        out = np.roll(out, 1, axis=ax)
-        idx = [slice(None)] * out.ndim
-        idx[ax] = 0
-        out[tuple(idx)] = 0.0
+def _strict_past(A, axis):
+    """Exclusive (strictly-earlier) cumulative sum along ``axis``."""
+    c = np.cumsum(A, axis=axis)
+    out = np.zeros_like(c)
+    src = [slice(None)] * c.ndim
+    dst = [slice(None)] * c.ndim
+    src[axis] = slice(0, -1)
+    dst[axis] = slice(1, None)
+    out[tuple(dst)] = c[tuple(src)]
     return out
 
 
@@ -258,31 +282,43 @@ def truncated_sig_kernel(X, Y, num_levels, sigma=1.0, order=-1):
     ``num_levels`` signature levels; ``sigma`` scalar or per-level weights;
     ``order`` the Kiraly-Oberhauser approximation order (``-1`` = full).
     Returns ``(num_seq_X, num_seq_Y)``.
+
+    Formulation: a level recursion over partial-sum states ``R[a, b]``,
+    where state ``(a, b)`` collects the contraction terms whose current
+    sequence indices are repeated ``a + 1`` (resp. ``b + 1``) times -- the
+    low-rank decomposition of Kiraly & Oberhauser (arXiv:1601.08169, Alg. 5;
+    reference transformers.py:201-236). Each level either opens a fresh
+    index pair strictly in the past of the current one (``(0, 0)``, a
+    strict-past scan over both length axes), extends one repeated index
+    (``(0, j)`` / ``(j, 0)``, one strict-past scan and a ``1/(j+1)``
+    multiplicity weight), or extends both (``(i, j)``, pointwise). States
+    are kept in a dict keyed by multiplicity, batch axes leading
+    (``nx, ny, lx, ly``) so the scans run over the minor axes.
     """
     X = np.asarray(X)
     Y = np.asarray(Y)
-    order = num_levels if order < 1 else order
-    sigma = sigma * np.ones((num_levels + 1,), dtype=X.dtype)
+    depth = num_levels if order < 1 else min(order, num_levels)
+    weights = np.asarray(sigma, dtype=X.dtype) * np.ones(num_levels + 1,
+                                                         dtype=X.dtype)
 
-    nx, lx, feat = X.shape
-    ny, ly, _ = Y.shape
+    M = np.einsum("apk,bqk->abpq", X, Y)  # <x_p, y_q> per sequence pair
+    K = weights[0] + weights[1] * M.sum(axis=(2, 3))
 
-    M = (X.reshape((-1, feat)) @ Y.reshape((-1, feat)).T).reshape(nx, lx, ny, ly)
-    K = sigma[0] * np.ones((nx, ny), dtype=X.dtype) + sigma[1] * M.sum(axis=(1, 3))
-    R = M[None, None, ...]
-
+    R = {(0, 0): M}
     for m in range(1, num_levels):
-        d = min(m + 1, order)
-        R_next = np.empty((d, d, nx, lx, ny, ly), dtype=X.dtype)
-        R_next[0, 0] = M * _shift_right(
-            np.cumsum(np.cumsum(R.sum(axis=(0, 1)), axis=1), axis=3), (1, 3))
+        d = min(m + 1, depth)
+        d_prev = min(m, depth)
+        nxt = {}
+        opened = _strict_past(_strict_past(sum(R.values()), 2), 3)
+        nxt[0, 0] = M * opened
         for j in range(1, d):
-            R_next[0, j] = (1.0 / (j + 1)) * M * _shift_right(
-                np.cumsum(R[:, j - 1].sum(axis=0), axis=1), (1,))
-            R_next[j, 0] = (1.0 / (j + 1)) * M * _shift_right(
-                np.cumsum(R[j - 1, :].sum(axis=0), axis=3), (3,))
-            for i in range(1, d):
-                R_next[i, j] = (1.0 / ((j + 1) * (i + 1))) * M * R[i - 1, j - 1]
-        R = R_next
-        K += sigma[m + 1] * R.sum(axis=(0, 1, 3, 5))
+            col = sum(R[a, j - 1] for a in range(d_prev))
+            nxt[0, j] = (M / (j + 1)) * _strict_past(col, 2)
+            row = sum(R[j - 1, b] for b in range(d_prev))
+            nxt[j, 0] = (M / (j + 1)) * _strict_past(row, 3)
+        for i in range(1, d):
+            for j in range(1, d):
+                nxt[i, j] = (M / ((i + 1) * (j + 1))) * R[i - 1, j - 1]
+        R = nxt
+        K = K + weights[m + 1] * sum(S.sum(axis=(2, 3)) for S in R.values())
     return K

@@ -104,3 +104,21 @@ def test_solver_fused_rejects_unsupported(rng):
     with pytest.raises(ValueError, match="fused"):
         sk.sig_kernel(sk.RBFKernel(0.5), X, X, solver="fused",
                       dyadic_order=1)
+
+
+def test_fused_rbf_sigma_is_traceable(rng):
+    """sigma stays a traced operand: one compiled program serves any sigma
+    (previously float(sigma) raised TracerError under jit)."""
+    import jax
+
+    X = jnp.asarray(make_paths(rng, 2, 6, 2), jnp.float32)
+    Y = jnp.asarray(make_paths(rng, 2, 6, 2), jnp.float32)
+
+    @jax.jit
+    def f(sigma):
+        return pallas_fused.solve_final_rbf(X, Y, sigma).sum()
+
+    for s in (0.7, 1.3):
+        want = float(np.asarray(sk.sig_kernel(
+            sk.RBFKernel(s), X, Y, solver="scan", max_batch=None)).sum())
+        np.testing.assert_allclose(float(f(jnp.float32(s))), want, rtol=2e-5)

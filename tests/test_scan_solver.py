@@ -89,3 +89,20 @@ def test_dyadic_convergence(rng):
     d01 = np.abs(vals[1] - vals[0]).max()
     d23 = np.abs(vals[3] - vals[2]).max()
     assert d23 < d01
+
+
+def test_sig_loss_naive_matches_distance():
+    """SigLoss_naive oracle == sig_distance on the same inputs."""
+    import jax.numpy as jnp
+    from conftest import make_paths
+    import sigkernel_tpu as sk
+    from sigkernel_tpu import naive
+
+    rng = np.random.default_rng(7)
+    X = make_paths(rng, 3, 8, 2)
+    Y = make_paths(rng, 3, 8, 2)
+    kernel = sk.RBFKernel(1.0)
+    want = float(sk.sig_distance(kernel, jnp.asarray(X), jnp.asarray(Y),
+                                 dyadic_order=1))
+    got = float(naive.SigLoss_naive(kernel, dyadic_order=1)(X, Y))
+    np.testing.assert_allclose(got, want, rtol=1e-9)

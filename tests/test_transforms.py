@@ -145,3 +145,74 @@ def test_addtime_total_time():
     X = [np.zeros((5, 1))]
     out = T.AddTime(total_time=5.0).fit_transform(X)[0]
     np.testing.assert_allclose(out[:, 0], np.linspace(0, 5, 5))
+
+
+# ---------------------------------------------------------------------------
+# Behavioural parity vs the reference transformers (loaded standalone)
+# ---------------------------------------------------------------------------
+
+def _load_reference_transformers():
+    import importlib.util
+    path = "/root/reference/sigkernel/transformers.py"
+    spec = importlib.util.spec_from_file_location("ref_transformers", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+@pytest.fixture(scope="module")
+def ref():
+    try:
+        return _load_reference_transformers()
+    except Exception as e:  # pragma: no cover
+        pytest.skip(f"reference transformers unavailable: {e}")
+
+
+@pytest.mark.parametrize("num_levels,order", [(1, -1), (3, -1), (4, 2),
+                                              (5, 3), (4, 1)])
+def test_truncated_sig_kernel_matches_reference(ref, num_levels, order):
+    rng = np.random.default_rng(10)
+    X = rng.normal(size=(3, 6, 2)) * 0.5
+    Y = rng.normal(size=(4, 5, 2)) * 0.5
+    ours = T.truncated_sig_kernel(X, Y, num_levels, sigma=1.0, order=order)
+    want = ref.truncated_sig_kernel(X, Y, num_levels, sigma=1.0, order=order)
+    np.testing.assert_allclose(ours, want, rtol=1e-10)
+
+
+def test_truncated_sig_kernel_per_level_sigma_matches_reference(ref):
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(2, 5, 3)) * 0.4
+    sig = np.linspace(0.5, 2.0, 4)
+    ours = T.truncated_sig_kernel(X, X, 3, sigma=sig, order=-1)
+    want = ref.truncated_sig_kernel(X, X, 3, sigma=sig, order=-1)
+    np.testing.assert_allclose(ours, want, rtol=1e-10)
+
+
+def test_dyadic_matches_reference(ref):
+    rng = np.random.default_rng(12)
+    for n, depth in [(16, 2), (13, 2), (9, 3), (40, 1)]:
+        x = rng.normal(size=(n, 2))
+        ours = T.Dyadic(depth).fit_transform([x])[0]
+        want = ref.Dyadic(depth).fit_transform([x])[0]
+        assert len(ours) == len(want)
+        for a, b in zip(ours, want):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_penoff_matches_reference(ref):
+    x = np.random.default_rng(13).normal(size=(6, 2))
+    np.testing.assert_array_equal(T.PenOff().fit_transform([x])[0],
+                                  ref.PenOff().fit_transform([x])[0])
+
+
+def test_stroke_ink_pen_augment_match_reference(ref):
+    # stroke data as the reference consumes it: lists of [x, y] rows with
+    # distinct endpoints (the reference's value-based ink compare)
+    chars = [[[[0.0, 0.0], [1.0, 0.5], [2.0, 1.0]],
+              [[3.0, 3.0], [4.0, 3.5]],
+              [[5.0, 5.0]]]]
+    for mine, theirs in [(T.Stroke_Augment, ref.Stroke_Augment),
+                         (T.Ink_Augment, ref.Ink_Augment),
+                         (T.Pen_Augment, ref.Pen_Augment)]:
+        np.testing.assert_array_equal(mine().fit_transform(chars)[0],
+                                      theirs().fit_transform(chars)[0])
