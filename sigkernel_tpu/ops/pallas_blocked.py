@@ -1,0 +1,247 @@
+"""Blocked (row-stripe) Pallas wavefront: refined grids beyond the VMEM
+diagonal bound.
+
+The single-slab kernel (:mod:`.pallas_solver`) keeps one anti-diagonal of
+the solution in VMEM, bounding the *shorter* refined side to ``MAX_ROWS``
+(8192). This module removes that bound -- the capability the reference
+loses entirely at its 1024-thread CUDA cap (reference
+sigkernel/sigkernel.py:222) and SURVEY S7's tier-3 blocked solver.
+
+Decomposition: the refined grid is cut into horizontal stripes of at most
+``MAX_ROWS - 1`` rows. Each stripe is an ordinary wavefront sweep whose
+north boundary (local row 0) is not the constant 1 but the previous
+stripe's bottom solution row:
+
+- the boundary value ``K[0_local, j]`` enters the slab's row 0 at step
+  ``q = j - 2`` as a tiny per-step DMA stream alongside the increments;
+- the stripe's bottom row ``K[MM_local, j]`` leaves the kernel one value
+  per step (``row[q] = K[MM, q + 2 - MM]``, a single lane-column DMA of
+  the live diagonal), giving the next stripe's boundary without ever
+  materialising the stripe's solution grid.
+
+The west boundary stays the global ``K[:, 0] = 1`` for every stripe (the
+stripes span all columns), so only the north row travels. Zero-increment
+padding rows copy the row above (``K[i,j] = K[i-1,j] + K[i,j-1] -
+K[i-1,j-1]`` telescopes when the west boundary matches), so bottom-padding
+the last stripe is exact.
+
+Stripes run sequentially (true data dependence); pairs provide the
+parallelism, chunked to an HBM budget -- a 16k x 16k refined grid streams
+~1.5 GB of sheared increments per pair-chunk stripe.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import scan_solver
+from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, CHUNK_BYTES,
+                            _ix, _scheme, _chunk_map)
+from ..utils import ceil_to, dyadic_refine
+
+DMA_BATCH = 4
+
+
+def supported(inc) -> bool:
+    """TPU + f32 + too big for the single-slab kernel (either side order).
+
+    This tier complements :func:`..pallas_solver.supported`; the dispatcher
+    tries the single-slab kernel first.
+    """
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    if inc.dtype != jnp.float32:
+        return False
+    MM, NN = inc.shape[-2], inc.shape[-1]
+    return MM > 0 and NN > 0 and min(MM, NN) + 1 > MAX_ROWS
+
+
+def _stripe_kernel(inc_hbm, bd_hbm, bd01_ref, row_ref, state, ibuf, bbuf,
+                   isem, *, n_steps, MM, naive):
+    """One stripe sweep, pairs-on-sublanes layout only (slab = (P, L)).
+
+    inc_hbm: (Tp, P, L) sheared increments. bd_hbm: (Tp, P, 1) north
+    boundary stream, ``bd_hbm[q] = bd[q + 2]``. bd01_ref: (2, P, 1) VMEM,
+    boundary values bd[0], bd[1] for the two initial diagonals.
+    row_ref: (Tp, P, 1) HBM out, ``row_ref[q] = K[MM, q + 2 - MM]``.
+    isem: 6 DMA semaphores (2 inc in, 2 bd in, 2 row out).
+    """
+    T = DMA_BATCH
+    P, L = state.shape[1], state.shape[2]
+    n_batches = pl.cdiv(n_steps, T)
+    ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    one = jnp.float32(1.0)
+
+    init0 = jnp.ones((P, L), jnp.float32)
+    state[0] = jnp.where(ii == 0, bd01_ref[0], init0)  # diag p=0: K[0,0]
+    state[1] = jnp.where(ii == 0, bd01_ref[1], init0)  # diag p=1: K[0,1]
+
+    def in_copies(b, slot):
+        return (pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
+                                      ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
+                pltpu.make_async_copy(bd_hbm.at[pl.ds(_ix(b * T), T)],
+                                      bbuf.at[_ix(slot)],
+                                      isem.at[_ix(2 + slot)]))
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        for t in range(T):  # static unroll: ping-pong slots compile-time
+            q = b * T + t
+            vm2_s, vm1_s = t % 2, 1 - (t % 2)
+
+            @pl.when(q < n_steps)
+            def _():
+                u = ibuf[bslot, t]
+                vm1 = state[vm1_s]
+                k10 = vm1
+                k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+                k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
+                v = _scheme(k00, k01, k10, u, naive)
+                # row 0 carries the streamed north boundary; west boundary
+                # (ii == p) and pad rows stay 1
+                v = jnp.where(ii == 0, bbuf[bslot, t], v)
+                v = jnp.where((ii == q + 2) | (ii > MM), one, v)
+
+                # the row copy started at step q-2 read this state slot;
+                # it must land before the slot is overwritten
+                @pl.when(q >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        state.at[_ix(vm2_s), :, pl.ds(_ix(MM), 1)],
+                        row_ref.at[_ix(q - 2)],
+                        isem.at[_ix(4 + t % 2)]).wait()
+                state[vm2_s] = v
+                pltpu.make_async_copy(
+                    state.at[_ix(vm2_s), :, pl.ds(_ix(MM), 1)],
+                    row_ref.at[_ix(q)], isem.at[_ix(4 + t % 2)]).start()
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    last = (n_steps - 1) % 2
+    pltpu.make_async_copy(state.at[_ix(last), :, pl.ds(_ix(MM), 1)],
+                          row_ref.at[_ix(n_steps - 1)],
+                          isem.at[_ix(4 + last)]).wait()
+    @pl.when(n_steps >= 2)
+    def _():
+        pltpu.make_async_copy(state.at[_ix(1 - last), :, pl.ds(_ix(MM), 1)],
+                              row_ref.at[_ix(n_steps - 2)],
+                              isem.at[_ix(4 + (1 - last))]).wait()
+
+
+def _stripe_bottom_row(inc_s: jnp.ndarray, bd: jnp.ndarray,
+                       naive: bool) -> jnp.ndarray:
+    """Sweep one refined stripe; return its bottom solution row.
+
+    ``inc_s``: (B, MM_s, NN) refined stripe increments (MM_s + 1 <= 8192).
+    ``bd``: (B, NN + 1) north boundary row. Returns (B, NN + 1).
+    """
+    B, MM, NN = inc_s.shape
+    n_steps = MM + NN - 1
+    P = ceil_to(B, SUBLANES)
+    L = ceil_to(MM + 1, LANES)
+    Tp = ceil_to(n_steps, max(LANES, DMA_BATCH))
+
+    # sheared increments, pairs-on-sublanes: (Tp, P, L)
+    S = scan_solver.shear_rows(inc_s, out_width=Tp)       # (B, MM, Tp)
+    S = jnp.pad(S, ((0, P - B), (1, L - (MM + 1)), (0, 0)))
+    sk = jnp.transpose(S, (2, 0, 1))                      # (Tp, P, L)
+
+    # boundary stream bd_in[q] = bd[q + 2] (tail padded with 1: consumed
+    # only by out-of-range columns)
+    bdp = jnp.pad(bd, ((0, P - B), (0, 0)), constant_values=1.0)
+    stream = bdp[:, 2:]
+    stream = jnp.pad(stream, ((0, 0), (0, Tp - stream.shape[1])),
+                     constant_values=1.0)
+    bd_in = jnp.transpose(stream, (1, 0))[:, :, None]     # (Tp, P, 1)
+    bd01 = jnp.transpose(bdp[:, :2], (1, 0))[:, :, None]  # (2, P, 1)
+
+    kernel = functools.partial(_stripe_kernel, n_steps=n_steps, MM=MM,
+                               naive=naive)
+    rows = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Tp, P, 1), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(sk, bd_in, bd01)
+
+    # row[q] = K[MM, q + 2 - MM]  ->  bd_next[j] = row[MM - 2 + j], j >= 1
+    rowsT = jnp.transpose(rows[:, :, 0], (1, 0))          # (P, Tp)
+    vals = lax.dynamic_slice_in_dim(rowsT, MM - 1, NN, axis=1)
+    out = jnp.concatenate(
+        [jnp.ones((P, 1), jnp.float32), vals], axis=1)
+    return out[:B]
+
+
+def _pair_chunk_blocked(MM_s: int, NN: int) -> int:
+    """Pairs per launch: one stripe's sheared stream under the HBM budget
+    (sublane-granular -- blocked problems are enormous per pair)."""
+    n_steps = MM_s + NN - 1
+    per_pair = ceil_to(n_steps, LANES) * ceil_to(MM_s + 1, LANES) * 4
+    c = (CHUNK_BYTES // max(per_pair, 1)) // SUBLANES * SUBLANES
+    return int(min(max(c, SUBLANES), 64))  # cap: pairs-on-sublanes layout
+
+
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final(inc: jnp.ndarray, naive: bool = False,
+                dyadic_order: int = 0) -> jnp.ndarray:
+    """Blocked forward solve: ``K[..., -1, -1]`` for refined grids whose
+    *both* sides exceed the single-slab VMEM bound. f32.
+
+    Stripes are refined lazily (one stripe's refined rows at a time), so the
+    full refined increment grid never exists in memory either.
+    """
+    batch_shape = inc.shape[:-2]
+    f = 2 ** dyadic_order
+    Mb, Nb = inc.shape[-2], inc.shape[-1]
+    MM, NN = Mb * f, Nb * f
+    inc3 = inc.reshape((math.prod(batch_shape), Mb, Nb)).astype(jnp.float32)
+
+    # stripe height: largest multiple of f with slab rows <= MAX_ROWS
+    Rb = (MAX_ROWS - 1) // f * f
+    n_stripes = -(-MM // Rb)
+
+    def one(inc_c):
+        B = inc_c.shape[0]
+        bd = jnp.ones((B, NN + 1), jnp.float32)
+        for s in range(n_stripes):
+            lo = s * Rb // f
+            hi = min(Mb, lo + Rb // f)
+            stripe = dyadic_refine(inc_c[:, lo:hi, :], dyadic_order)
+            bd = _stripe_bottom_row(stripe, bd, naive)
+        return bd[:, NN]
+
+    out = _chunk_map(one, inc3, _pair_chunk_blocked(min(Rb, MM), NN))
+    return out.reshape(batch_shape)

@@ -266,21 +266,27 @@ def _split_hi_lo(x64: jnp.ndarray):
     return hi, lo
 
 
+def _pad_skew_components(hi: jnp.ndarray, lo: jnp.ndarray,
+                         dyadic_order: int = 0):
+    """f32 hi/lo base components -> sheared hi/lo f32 arrays. Refinement is
+    a pure-f32 repeat + exact power-of-two scale per component."""
+    from ..utils import dyadic_refine
+
+    hi = dyadic_refine(hi, dyadic_order)
+    lo = dyadic_refine(lo, dyadic_order)
+    skh, n_steps, row_axis, slab = _pad_shear(hi, DMA_BATCH)
+    skl, _, _, _ = _pad_shear(lo, DMA_BATCH)
+    return skh, skl, n_steps, row_axis, slab
+
+
 def _pad_skew_df(inc: jnp.ndarray, dyadic_order: int = 0):
     """f64 base (B, M-1, N-1) -> sheared hi/lo f32 arrays.
 
     The hi/lo split runs at *base* resolution (one emulated-f64 subtraction
-    per base cell); refinement is then a pure-f32 repeat + exact power-of-two
-    scale per component -- 4x less emulated-f64 work than refining first.
+    per base cell) -- 4x less emulated-f64 work than refining first.
     """
-    from ..utils import dyadic_refine
-
-    hi64, lo64 = _split_hi_lo(inc)
-    hi64 = dyadic_refine(hi64, dyadic_order)
-    lo64 = dyadic_refine(lo64, dyadic_order)
-    skh, n_steps, row_axis, slab = _pad_shear(hi64, DMA_BATCH)
-    skl, _, _, _ = _pad_shear(lo64, DMA_BATCH)
-    return skh, skl, n_steps, row_axis, slab
+    hi, lo = _split_hi_lo(inc)
+    return _pad_skew_components(hi, lo, dyadic_order)
 
 
 def _df_scratch(slab):
@@ -293,12 +299,13 @@ def _df_scratch(slab):
     ]
 
 
-def _solve_final_one(inc3: jnp.ndarray, naive: bool,
-                     dyadic_order: int = 0) -> jnp.ndarray:
+def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
+                        dyadic_order: int = 0) -> jnp.ndarray:
     f = 2 ** dyadic_order
-    B = inc3.shape[0]
-    MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
-    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3, dyadic_order)
+    B = hi3.shape[0]
+    MM, NN = hi3.shape[-2] * f, hi3.shape[-1] * f
+    skh, skl, n_steps, row_axis, slab = _pad_skew_components(
+        hi3, lo3, dyadic_order)
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=False)
     outh, outl = pl.pallas_call(
@@ -315,6 +322,12 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
     h = _extract_final(outh, row_axis, MM, B)
     l = _extract_final(outl, row_axis, MM, B)
     return h.astype(jnp.float64) + l.astype(jnp.float64)
+
+
+def _solve_final_one(inc3: jnp.ndarray, naive: bool,
+                     dyadic_order: int = 0) -> jnp.ndarray:
+    hi, lo = _split_hi_lo(inc3)
+    return _solve_final_one_df(hi, lo, naive, dyadic_order)
 
 
 def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
@@ -360,6 +373,45 @@ def solve_final(inc: jnp.ndarray, naive: bool = False,
     out = _chunk_map(lambda c: _solve_final_one(c, naive=naive,
                                                 dyadic_order=dyadic_order),
                      inc3, pair_chunk(MM, NN, planes=2))
+    return out.reshape(batch_shape)
+
+
+def supported_df(hi: jnp.ndarray) -> bool:
+    """Gate for DF (hi, lo) f32 inputs: TPU + shorter refined side in VMEM."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    MM, NN = hi.shape[-2], hi.shape[-1]
+    if MM == 0 or NN == 0:
+        return False
+    return min(MM, NN) + 1 <= MAX_ROWS
+
+
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final_df(hi: jnp.ndarray, lo: jnp.ndarray, naive: bool = False,
+                   dyadic_order: int = 0) -> jnp.ndarray:
+    """Double-double forward solve directly on DF (hi, lo) f32 increments
+    (no f64 round-trip); returns f64 ``K[..., -1, -1]``."""
+    import math
+
+    from .pallas_solver import _chunk_map, pair_chunk
+
+    batch_shape = hi.shape[:-2]
+    f = 2 ** dyadic_order
+    MM, NN = hi.shape[-2] * f, hi.shape[-1] * f
+    B = math.prod(batch_shape)
+    hi3 = hi.reshape((B,) + hi.shape[-2:])
+    lo3 = lo.reshape((B,) + lo.shape[-2:])
+    if MM + 1 > MAX_ROWS:  # transpose covariance: final corner is invariant
+        hi3 = jnp.swapaxes(hi3, -1, -2)
+        lo3 = jnp.swapaxes(lo3, -1, -2)
+        MM, NN = NN, MM
+    out = _chunk_map(
+        lambda c: _solve_final_one_df(c[0], c[1], naive, dyadic_order),
+        (hi3, lo3), pair_chunk(MM, NN, planes=2))
     return out.reshape(batch_shape)
 
 

@@ -443,6 +443,10 @@ def adjoint_dd(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     MM = inc3.shape[-2] * f
     NN = inc3.shape[-1] * f
     if MM + 1 > MAX_ROWS:  # transpose covariance: dd_cot(inc^T)^T == dd_cot
+        if NN + 1 > MAX_ROWS:
+            raise ValueError(
+                "adjoint_dd: both refined sides exceed the VMEM row bound "
+                f"({MAX_ROWS}); the caller must take the grid-route backward")
         out = adjoint_dd(jnp.swapaxes(inc3, -1, -2), g, naive, dyadic_order)
         return jnp.swapaxes(out, -1, -2)
     T = MM + NN - 1

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 from . import scan_solver
 from . import pallas_solver
 from . import pallas_df64
+from . import pallas_blocked
 from ..utils import dyadic_refine
 
 
@@ -62,11 +63,13 @@ def _resolve(solver: str, inc, dyadic_order: int) -> str:
             return "pallas"
         if pallas_df64.supported(probe):
             return "pallas_df64"
+        if pallas_blocked.supported(probe):
+            return "pallas_blocked"
         if solver == "pallas":
             raise ValueError(
-                "solver='pallas' requires a TPU backend, float32/float64 "
-                f"increments and <= {pallas_solver.MAX_ROWS} diagonal rows; "
-                f"got dtype={inc.dtype}, refined shape={probe.shape}")
+                "solver='pallas' requires a TPU backend and float32/float64 "
+                f"increments; got dtype={inc.dtype}, "
+                f"refined shape={probe.shape}")
         return "scan"
     return solver
 
@@ -79,6 +82,9 @@ def _solve_final(inc, naive, solver, dyadic_order):
     if s == "pallas_df64":
         return pallas_df64.solve_final(inc, naive=naive,
                                        dyadic_order=dyadic_order)
+    if s == "pallas_blocked":
+        return pallas_blocked.solve_final(inc, naive=naive,
+                                          dyadic_order=dyadic_order)
     return scan_solver.solve_final(dyadic_refine(inc, dyadic_order),
                                    naive=naive)
 
@@ -96,31 +102,39 @@ def _solve_grid(inc, naive, solver, dyadic_order):
                                   naive=naive)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
 def _solve_flat(inc: jnp.ndarray, naive: bool, solver: str,
-                dyadic_order: int):
+                dyadic_order: int, grad_solver: str):
     """custom_vjp core over a flat ``(B, M-1, N-1)`` batch."""
     return _solve_final(inc, naive, solver, dyadic_order)
 
 
 def solve(inc: jnp.ndarray, naive: bool = False, solver: str = "auto",
-          dyadic_order: int = 0):
+          dyadic_order: int = 0, grad_solver: str = "auto"):
     """Solve the Goursat PDE on the *base* increment grid ``inc``
     (``(..., M-1, N-1)``), refined internally by ``2^dyadic_order``.
 
     Returns the signature-kernel values ``K[..., -1, -1]`` with the batch
     shape of ``inc``. Differentiable in ``inc`` via the adjoint PDE solve.
 
+    ``grad_solver``: ``"auto"`` runs the backward sweeps at f32 on the
+    Pallas tiers (sheared-space adjoint; matches reference gradient quality,
+    see module docstring); ``"df64"`` forces full double-double adjoint
+    sweeps (f64-grade gradients at ~3x backward cost).
+
     Batch dims are flattened around the core: with >1 batch dims (the Gram
     case) XLA's layout assignment may otherwise tile the minor batch axes
     onto lanes/sublanes, inflating the big grid temporaries up to 16x.
     """
+    if grad_solver not in ("auto", "df64"):
+        raise ValueError(f"unknown grad_solver {grad_solver!r}; "
+                         "expected 'auto' or 'df64'")
     batch_shape = inc.shape[:-2]
     # explicit batch size: -1 cannot be inferred when a trailing dim is 0
     # (length-1 paths produce a (..., 0, 0) increment grid)
     import math
     flat = inc.reshape((math.prod(batch_shape),) + inc.shape[-2:])
-    out = _solve_flat(flat, naive, solver, dyadic_order)
+    out = _solve_flat(flat, naive, solver, dyadic_order, grad_solver)
     return out.reshape(batch_shape)
 
 
@@ -134,18 +148,13 @@ def _collapse_refined(KK, dyadic_order, dtype):
     return (KK.sum(axis=(-3, -1)) / (f * f)).astype(dtype)
 
 
-def _solve_fwd(inc, naive, solver, dyadic_order):
+def _solve_fwd(inc, naive, solver, dyadic_order, grad_solver):
     return _solve_final(inc, naive, solver, dyadic_order), inc
 
 
-def _solve_bwd(naive, solver, dyadic_order, inc, g):
-    s = _resolve(solver, inc, dyadic_order)
-    if s in ("pallas", "pallas_df64"):
-        # sheared-space adjoint: both sweeps stay as diagonal stacks; no
-        # solution grid is ever materialised (f32 backward, see module doc)
-        KK = pallas_solver.adjoint_dd(inc, g, naive=naive,
-                                      dyadic_order=dyadic_order)
-        return (_collapse_refined(KK, dyadic_order, inc.dtype),)
+def _grid_route_bwd(inc, g, naive, solver, dyadic_order):
+    """Full-precision backward: two grid solves + variation-of-parameters
+    product ``KK = K[:-1,:-1] * flip(K_rev)[1:,1:]`` in the working dtype."""
     # one batched sweep over [inc; flip(inc)]: the scan is sequential in
     # n_steps, so doubling the (vectorised) batch halves backward latency
     inc_rev = jnp.flip(jnp.flip(inc, axis=-1), axis=-2)
@@ -159,6 +168,20 @@ def _solve_bwd(naive, solver, dyadic_order, inc, g):
     return (_collapse_refined(KK, dyadic_order, inc.dtype),)
 
 
+def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
+    s = _resolve(solver, inc, dyadic_order)
+    if s in ("pallas", "pallas_df64") and not (
+            s == "pallas_df64" and grad_solver == "df64"):
+        # sheared-space adjoint: both sweeps stay as diagonal stacks; no
+        # solution grid is ever materialised (f32 backward, see module doc)
+        KK = pallas_solver.adjoint_dd(inc, g, naive=naive,
+                                      dyadic_order=dyadic_order)
+        return (_collapse_refined(KK, dyadic_order, inc.dtype),)
+    # full-precision route: scan tier, or grad_solver="df64" on the
+    # double-double tier (both grid sweeps + product run f64-grade)
+    return _grid_route_bwd(inc, g, naive, solver, dyadic_order)
+
+
 _solve_flat.defvjp(_solve_fwd, _solve_bwd)
 
 
@@ -167,3 +190,74 @@ def solve_with_grid(inc: jnp.ndarray, naive: bool = False,
                     dyadic_order: int = 0) -> jnp.ndarray:
     """Non-differentiable full-grid solve (used by tests and diagnostics)."""
     return _solve_grid(inc, naive, solver, dyadic_order)
+
+
+# ---------------------------------------------------------------------------
+# Double-float (paired-f32) increment path: no emulated f64 anywhere
+# ---------------------------------------------------------------------------
+
+def _df_supported(hi, dyadic_order):
+    from . import pallas_df64 as _df64
+
+    f = 2 ** dyadic_order
+    probe = jax.ShapeDtypeStruct(
+        hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
+    return _df64.supported_df(probe)
+
+
+def _solve_df_final(dd_df, naive, dyadic_order):
+    hi, lo = dd_df
+    if _df_supported(hi, dyadic_order):
+        return pallas_df64.solve_final_df(hi, lo, naive=naive,
+                                          dyadic_order=dyadic_order)
+    # portable fallback (CPU tests / long paths): combine and run the scan
+    # tier at the widest enabled precision
+    inc = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+    return scan_solver.solve_final(dyadic_refine(inc, dyadic_order),
+                                   naive=naive)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _solve_df_flat(dd_df, naive: bool, dyadic_order: int):
+    return _solve_df_final(dd_df, naive, dyadic_order)
+
+
+def _solve_df_fwd(dd_df, naive, dyadic_order):
+    return _solve_df_final(dd_df, naive, dyadic_order), dd_df
+
+
+def _solve_df_bwd(naive, dyadic_order, dd_df, g):
+    hi, lo = dd_df
+    if _df_supported(hi, dyadic_order):
+        KK = pallas_solver.adjoint_dd(hi, g, naive=naive,
+                                      dyadic_order=dyadic_order)
+        ct = _collapse_refined(KK, dyadic_order, jnp.float32)
+    else:
+        inc = hi.astype(jnp.float64) + lo.astype(jnp.float64)
+        (ct64,) = _grid_route_bwd(inc, g, naive, "scan", dyadic_order)
+        ct = ct64.astype(jnp.float32)
+    # the cotangent is f32-grade by design; its lo plane is identically zero
+    return ((ct, jnp.zeros_like(ct)),)
+
+
+_solve_df_flat.defvjp(_solve_df_fwd, _solve_df_bwd)
+
+
+def solve_df(dd_df, naive: bool = False, dyadic_order: int = 0):
+    """Differentiable Goursat solve on double-float increments.
+
+    ``dd_df``: a ``(hi, lo)`` pair of f32 arrays ``(..., M-1, N-1)`` whose
+    unevaluated sum is the f64-grade increment grid (produced by
+    :mod:`.df_prep`). Returns f64 ``K[..., -1, -1]``; backward is the
+    f32-grade sheared-space adjoint. On TPU this path touches no emulated
+    f64 at all between the path points and the final scalar.
+    """
+    import math
+
+    hi, lo = dd_df
+    batch_shape = hi.shape[:-2]
+    B = math.prod(batch_shape)
+    flat = (hi.reshape((B,) + hi.shape[-2:]),
+            lo.reshape((B,) + lo.shape[-2:]))
+    out = _solve_df_flat(flat, naive, dyadic_order)
+    return out.reshape(batch_shape)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .ops import scan_solver
-from .ops.solve import solve
+from .ops.solve import solve, solve_df
 from . import kernels as _kernels
 from .utils import increment_grid, double_difference, pad_length
 
@@ -54,15 +54,52 @@ def _fused_pairwise(static_kernel, X, Y, dyadic_order, naive):
         f"with dyadic_order={dyadic_order}")
 
 
+_DF_KERNELS = (_kernels.LinearKernel, _kernels.RBFKernel)
+
+
+def _df_route(static_kernel, X, solver, grad_solver):
+    """Should this call take the paired-f32 (double-float) increment path?
+
+    ``solver="df"`` forces it (any platform; the solve falls back to the
+    scan tier off-TPU). ``solver="auto"`` upgrades to it when the increments
+    would be f64, the backend is a TPU (whose Mosaic compiler has no f64:
+    the alternative is ~50-100x emulated f64), the static kernel has a DF
+    formulation, and full-f64 gradients were not requested.
+    """
+    if solver == "df":
+        if type(static_kernel) not in _DF_KERNELS:
+            raise ValueError(
+                "solver='df' supports LinearKernel and RBFKernel exactly; "
+                f"got {type(static_kernel).__name__}")
+        return True
+    if solver != "auto" or grad_solver == "df64":
+        return False
+    if X.dtype != jnp.float64 or type(static_kernel) not in _DF_KERNELS:
+        return False
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _df_increments(static_kernel, x, y, gram: bool):
+    from .ops import df_prep
+
+    if type(static_kernel) is _kernels.LinearKernel:
+        return df_prep.linear_increments_df(x, y, static_kernel.scale, gram)
+    return df_prep.rbf_increments_df(x, y, static_kernel.sigma, gram)
+
+
 def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
                solver="auto", max_batch: Optional[int] = 100,
-               length_bucket: Optional[int] = None):
+               length_bucket: Optional[int] = None, grad_solver="auto"):
     """Pairwise signature kernel ``k_sig(X^i, Y^i)`` -> shape ``(batch,)``.
 
     Parity: reference ``SigKernel.compute_kernel`` (sigkernel.py:23-40).
     ``length_bucket``: pad path lengths up to this multiple by repeating the
     final point -- exact (zero increments are no-ops) and cuts recompiles
-    across irregular-length datasets.
+    across irregular-length datasets. ``grad_solver="df64"`` forces
+    f64-grade adjoint sweeps (see :func:`..ops.solve.solve`).
     """
     if length_bucket:
         X = pad_length(X, length_bucket)
@@ -71,11 +108,16 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
     if solver == "fused":
         return _fused_pairwise(static_kernel, X, Y, dyadic_order, naive)
 
+    use_df = _df_route(static_kernel, X, solver, grad_solver)
+
     def tile_fn(xy):
         x, y = xy
+        if use_df:
+            dd_df = _df_increments(static_kernel, x, y, gram=False)
+            return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
         G = static_kernel.batch_kernel(x, y)
         dd = double_difference(G)
-        return solve(dd, naive, solver, dyadic_order)
+        return solve(dd, naive, solver, dyadic_order, grad_solver)
 
     batch = X.shape[0]
     if max_batch is None or batch <= max_batch:
@@ -91,7 +133,7 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
 
 
 def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
-                       max_batch):
+                       max_batch, grad_solver="auto"):
     """Symmetric Gram ``G(X, X)`` from upper-triangular pairs only.
 
     The wavefront solve is exactly transpose-covariant, so ``K[j, i]`` equals
@@ -115,7 +157,8 @@ def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
         ju_c = ju[s:s + chunk]
         vals_parts.append(sig_kernel(
             static_kernel, X[iu_c], X[ju_c], dyadic_order=dyadic_order,
-            naive=naive, solver=solver, max_batch=None))
+            naive=naive, solver=solver, max_batch=None,
+            grad_solver=grad_solver))
     vals = vals_parts[0] if len(vals_parts) == 1 \
         else jnp.concatenate(vals_parts)
     K = jnp.zeros((A, A), vals.dtype).at[iu, ju].set(vals)
@@ -124,7 +167,7 @@ def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
 
 def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
              solver="auto", max_batch: Optional[int] = 100,
-             length_bucket: Optional[int] = None):
+             length_bucket: Optional[int] = None, grad_solver="auto"):
     """Signature-kernel Gram matrix ``k_sig(X^i, Y^j)`` -> ``(bx, by)``.
 
     Parity: reference ``SigKernel.compute_Gram`` (sigkernel.py:92-128).
@@ -137,7 +180,7 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
         Y = pad_length(Y, length_bucket)
     if sym and X.shape == Y.shape:
         return _gram_sym_triangle(static_kernel, X, dyadic_order, naive,
-                                  solver, max_batch)
+                                  solver, max_batch, grad_solver)
 
     if solver == "fused":
         A, B = X.shape[0], Y.shape[0]
@@ -152,10 +195,15 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
         vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
         return vals.reshape(A, B)
 
+    use_df = _df_route(static_kernel, X, solver, grad_solver)
+
     def tile_fn(x, y):
+        if use_df:
+            dd_df = _df_increments(static_kernel, x, y, gram=True)
+            return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
         G = static_kernel.Gram_matrix(x, y)
         dd = double_difference(G)
-        return solve(dd, naive, solver, dyadic_order)
+        return solve(dd, naive, solver, dyadic_order, grad_solver)
 
     bx, by = X.shape[0], Y.shape[0]
     if max_batch is None or (bx <= max_batch and by <= max_batch):
@@ -222,10 +270,11 @@ def _offdiag_mean(K: jnp.ndarray) -> jnp.ndarray:
 
 
 def sig_distance(static_kernel, X, Y, dyadic_order=0, naive=False,
-                 solver="auto", max_batch: Optional[int] = 100):
+                 solver="auto", max_batch: Optional[int] = 100,
+                 grad_solver="auto"):
     """``mean k(X,X) + mean k(Y,Y) - 2 mean k(X,Y)`` over paired batches."""
     kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
-              max_batch=max_batch)
+              max_batch=max_batch, grad_solver=grad_solver)
     k_xx = sig_kernel(static_kernel, X, X, **kw)
     k_yy = sig_kernel(static_kernel, Y, Y, **kw)
     k_xy = sig_kernel(static_kernel, X, Y, **kw)
@@ -233,30 +282,33 @@ def sig_distance(static_kernel, X, Y, dyadic_order=0, naive=False,
 
 
 def sig_scoring_rule(static_kernel, X, y, dyadic_order=0, naive=False,
-                     solver="auto", max_batch: Optional[int] = 100):
+                     solver="auto", max_batch: Optional[int] = 100,
+                     grad_solver="auto"):
     """Scoring rule ``E[k(X,X)] - 2 E[k(X,y)]`` with unbiased diagonal removal."""
     kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
-              max_batch=max_batch)
+              max_batch=max_batch, grad_solver=grad_solver)
     K_XX = sig_gram(static_kernel, X, X, sym=True, **kw)
     K_Xy = sig_gram(static_kernel, X, y, sym=False, **kw)
     return _offdiag_mean(K_XX) - 2.0 * jnp.mean(K_Xy)
 
 
 def sig_expected_scoring_rule(static_kernel, X, Y, dyadic_order=0, naive=False,
-                              solver="auto", max_batch: Optional[int] = 100):
+                              solver="auto", max_batch: Optional[int] = 100,
+                     grad_solver="auto"):
     """Expected scoring rule ``E_Y[S(X, y)]``."""
     kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
-              max_batch=max_batch)
+              max_batch=max_batch, grad_solver=grad_solver)
     K_XX = sig_gram(static_kernel, X, X, sym=True, **kw)
     K_XY = sig_gram(static_kernel, X, Y, sym=False, **kw)
     return _offdiag_mean(K_XX) - 2.0 * jnp.mean(K_XY)
 
 
 def sig_mmd(static_kernel, X, Y, dyadic_order=0, naive=False,
-            solver="auto", max_batch: Optional[int] = 100):
+            solver="auto", max_batch: Optional[int] = 100,
+            grad_solver="auto"):
     """Unbiased signature-kernel MMD^2 between samples ``X`` and ``Y``."""
     kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
-              max_batch=max_batch)
+              max_batch=max_batch, grad_solver=grad_solver)
     K_XX = sig_gram(static_kernel, X, X, sym=True, **kw)
     K_YY = sig_gram(static_kernel, Y, Y, sym=True, **kw)
     K_XY = sig_gram(static_kernel, X, Y, sym=False, **kw)
@@ -276,15 +328,17 @@ class SigKernel:
     """
 
     def __init__(self, static_kernel, dyadic_order, _naive_solver=False,
-                 solver="auto"):
+                 solver="auto", grad_solver="auto"):
         self.static_kernel = static_kernel
         self.dyadic_order = dyadic_order
         self._naive_solver = _naive_solver
         self.solver = solver
+        self.grad_solver = grad_solver
 
     def _kw(self, max_batch):
         return dict(dyadic_order=self.dyadic_order, naive=self._naive_solver,
-                    solver=self.solver, max_batch=max_batch)
+                    solver=self.solver, max_batch=max_batch,
+                    grad_solver=self.grad_solver)
 
     def compute_kernel(self, X, Y, max_batch=100):
         return sig_kernel(self.static_kernel, X, Y, **self._kw(max_batch))

@@ -1,0 +1,82 @@
+"""Blocked (row-stripe) solver vs the scan oracle (interpret on CPU).
+
+The VMEM row bound is monkeypatched down so multi-stripe paths exercise at
+test sizes; on hardware the same code runs with MAX_ROWS = 8192.
+"""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sigkernel_tpu.ops import scan_solver, pallas_blocked
+
+from conftest import make_paths  # noqa: F401  (fixture plumbing)
+
+ON_TPU = bool(os.environ.get("SIGKERNEL_TEST_TPU"))
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if ON_TPU:
+        yield
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+
+
+@pytest.fixture
+def small_rows(monkeypatch):
+    """Force multi-stripe execution at test sizes."""
+    monkeypatch.setattr(pallas_blocked, "MAX_ROWS", 16)
+    return 16
+
+
+@pytest.mark.parametrize("naive", [False, True])
+@pytest.mark.parametrize("shape", [(2, 40, 37), (1, 33, 50), (3, 45, 45)])
+def test_blocked_matches_scan(rng, small_rows, naive, shape):
+    inc = jnp.asarray(rng.normal(size=shape) * 0.05, jnp.float32)
+    want = np.asarray(scan_solver.solve_final(inc, naive=naive))
+    got = np.asarray(pallas_blocked.solve_final(inc, naive=naive))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
+
+
+def test_blocked_dyadic_refine_stripes(rng, small_rows):
+    """Stripe boundaries stay aligned to the refinement factor."""
+    inc = jnp.asarray(rng.normal(size=(2, 20, 18)) * 0.05, jnp.float32)
+    want = np.asarray(scan_solver.solve_final(
+        jnp.asarray(np.asarray(inc), jnp.float64), naive=False))
+    # dyadic_order=1: refined 40 x 36, stripes of 14 (=MAX_ROWS-1 rounded
+    # down to a multiple of 2)
+    from sigkernel_tpu.utils import dyadic_refine
+    want = np.asarray(scan_solver.solve_final(
+        dyadic_refine(inc.astype(jnp.float64), 1)))
+    got = np.asarray(pallas_blocked.solve_final(inc, dyadic_order=1))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
+
+
+def test_blocked_single_stripe_degenerates(rng, small_rows):
+    """Grids fitting one stripe still go through the boundary-stream path."""
+    inc = jnp.asarray(rng.normal(size=(2, 10, 30)) * 0.05, jnp.float32)
+    want = np.asarray(scan_solver.solve_final(inc))
+    got = np.asarray(pallas_blocked.solve_final(inc))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=1e-6)
+
+
+def test_dispatch_routes_blocked(rng, monkeypatch):
+    """_resolve picks the blocked tier when both sides exceed the bound on
+    a TPU platform (platform check stubbed)."""
+    from sigkernel_tpu.ops import solve as solve_mod, pallas_solver
+
+    monkeypatch.setattr(pallas_blocked, "MAX_ROWS", 16)
+    monkeypatch.setattr(pallas_solver, "MAX_ROWS", 16)
+
+    class _Dev:
+        platform = "tpu"
+
+    monkeypatch.setattr(solve_mod.jax, "devices", lambda *a: [_Dev()])
+    inc = jnp.zeros((1, 40, 40), jnp.float32)
+    assert solve_mod._resolve("auto", inc, 0) == "pallas_blocked"
+    inc_small = jnp.zeros((1, 10, 10), jnp.float32)
+    assert solve_mod._resolve("auto", inc_small, 0) == "pallas"

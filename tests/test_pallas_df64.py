@@ -64,3 +64,16 @@ def test_df64_transposes_long_rectangular(rng, monkeypatch):
     wantg = np.asarray(scan_solver.solve_grid(inc))
     gotg = np.asarray(pd.solve_grid(inc))
     np.testing.assert_allclose(gotg, wantg, rtol=1e-12, atol=1e-13)
+
+
+@pytest.mark.parametrize("dyadic_order", [0, 1])
+def test_df64_solve_final_df_inputs(rng, dyadic_order):
+    """DF (hi, lo) inputs through the kernel == f64 inputs split internally."""
+    from sigkernel_tpu.ops import df32
+
+    inc = jnp.asarray(rng.normal(size=(2, 7, 5)) * 0.1)
+    hi, lo = df32.from_f64(inc)
+    want = np.asarray(pallas_df64.solve_final(inc, dyadic_order=dyadic_order))
+    got = np.asarray(pallas_df64.solve_final_df(hi, lo,
+                                                dyadic_order=dyadic_order))
+    np.testing.assert_allclose(got, want, rtol=1e-13)
