@@ -1,0 +1,187 @@
+"""Pallas fused triple wavefront: kernel + first/second directional
+derivatives in one sweep.
+
+The native accelerator tier for ``k_kgrad`` (reference
+sigkernel/cuda_backend.py:165-223 runs this fused triple on CUDA; round 1
+only had the scan tier on TPU). Three coupled states ``(K, K_diff,
+K_diffdiff)`` advance together along anti-diagonals; the product-rule
+recurrences (f1..f4 / g1..g4) are the ones proven in
+:func:`..ops.scan_solver.solve_derivatives_final` and the C++ solver.
+
+Structure mirrors :mod:`.pallas_solver`: sheared diagonal-major streaming
+(three increment planes), ping-pong VMEM states, batched double-buffered
+DMA, dual slab layouts, transpose covariance (the recurrences are symmetric
+in the 01/10 neighbours, so the final corners are transpose-invariant).
+f32; f64-grade derivative solves stay on the scan tier.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .pallas_solver import (MAX_ROWS, _ix, _pad_shear, _extract_final,
+                            _chunk_map, pair_chunk)
+
+DMA_BATCH = 2  # three ibuf planes per slot
+
+
+def supported(inc) -> bool:
+    """TPU backend + fits the VMEM row bound on the shorter side."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    MM, NN = inc.shape[-2], inc.shape[-1]
+    return MM > 0 and NN > 0 and min(MM, NN) + 1 <= MAX_ROWS
+
+
+def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
+                  kst, dst, sst, ibu, ibd, ibs, isem,
+                  *, n_steps, MM, row_axis):
+    """Triple-state wavefront (higher-order scheme for K, coupled
+    product-rule recurrences for the derivative states)."""
+    T = DMA_BATCH
+    slab = kst.shape[1:]
+    n_batches = pl.cdiv(n_steps, T)
+    ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    kst[0] = jnp.ones(slab, jnp.float32)
+    kst[1] = jnp.ones(slab, jnp.float32)
+    dst[0] = jnp.zeros(slab, jnp.float32)
+    dst[1] = jnp.zeros(slab, jnp.float32)
+    sst[0] = jnp.zeros(slab, jnp.float32)
+    sst[1] = jnp.zeros(slab, jnp.float32)
+
+    def in_copies(b, slot):
+        return (
+            pltpu.make_async_copy(u_hbm.at[pl.ds(_ix(b * T), T)],
+                                  ibu.at[_ix(slot)], isem.at[_ix(slot)]),
+            pltpu.make_async_copy(ud_hbm.at[pl.ds(_ix(b * T), T)],
+                                  ibd.at[_ix(slot)], isem.at[_ix(2 + slot)]),
+            pltpu.make_async_copy(us_hbm.at[pl.ds(_ix(b * T), T)],
+                                  ibs.at[_ix(slot)], isem.at[_ix(4 + slot)]),
+        )
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def roll(x):
+        return pltpu.roll(x, jnp.int32(1), axis=row_axis)
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        for t in range(T):
+            q = b * T + t
+            vm2, vm1 = t % 2, 1 - (t % 2)
+
+            @pl.when(q < n_steps)
+            def _():
+                u = ibu[bslot, t]
+                ud = ibd[bslot, t]
+                us = ibs[bslot, t]
+                k10, k01, k00 = kst[vm1], roll(kst[vm1]), roll(kst[vm2])
+                d10, d01, d00 = dst[vm1], roll(dst[vm1]), roll(dst[vm2])
+                s10, s01, s00 = sst[vm1], roll(sst[vm1]), roll(sst[vm2])
+
+                u2 = u * u * jnp.float32(1.0 / 12.0)
+                k = (k01 + k10) * (1.0 + 0.5 * u + u2) - k00 * (1.0 - u2)
+
+                f1 = k00 * ud + d00 * u
+                f2 = k01 * ud + d01 * u
+                f3 = k10 * ud + d10 * u
+                f4 = k * ud + (d01 + d10 - d00 + f1) * u
+                d = d01 + d10 - d00 + 0.25 * (f1 + f2 + f3 + f4)
+
+                g1 = k00 * us + 2.0 * d00 * ud + s00 * u
+                g2 = k01 * us + 2.0 * d01 * ud + s01 * u
+                g3 = k10 * us + 2.0 * d10 * ud + s10 * u
+                g4 = k * us + 2.0 * d * ud + (s01 + s10 - s00 + g1) * u
+                s = s01 + s10 - s00 + 0.25 * (g1 + g2 + g3 + g4)
+
+                bnd = (ii == 0) | (ii == q + 2) | (ii > MM)
+                kst[vm2] = jnp.where(bnd, one, k)
+                dst[vm2] = jnp.where(bnd, zero, d)
+                sst[vm2] = jnp.where(bnd, zero, s)
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    last = (n_steps - 1) % 2
+    outk_ref[...] = kst[last]
+    outd_ref[...] = dst[last]
+    outs_ref[...] = sst[last]
+
+
+def _solve_one(incs, naive_unused=None):
+    u3, ud3, us3 = incs
+    B, MM, NN = u3.shape
+    sku, n_steps, row_axis, slab = _pad_shear(u3, DMA_BATCH)
+    skd, _, _, _ = _pad_shear(ud3, DMA_BATCH)
+    sks, _, _, _ = _pad_shear(us3, DMA_BATCH)
+    kernel = functools.partial(_deriv_kernel, n_steps=n_steps, MM=MM,
+                               row_axis=row_axis)
+    outk, outd, outs = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),) * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 3,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((2,) + slab, jnp.float32),
+            pltpu.VMEM((2,) + slab, jnp.float32),
+            pltpu.VMEM((2,) + slab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(sku, skd, sks)
+    return (_extract_final(outk, row_axis, MM, B),
+            _extract_final(outd, row_axis, MM, B),
+            _extract_final(outs, row_axis, MM, B))
+
+
+@jax.jit
+def solve_derivatives_final(inc: jnp.ndarray, inc_d: jnp.ndarray,
+                            inc_dd: jnp.ndarray):
+    """Fused Pallas triple solve on *refined* increment grids.
+
+    ``inc``/``inc_d``/``inc_dd``: (..., MM, NN). Returns three arrays with
+    the batch shape (final corners of K, K_diff, K_diffdiff), f32.
+    """
+    batch_shape = inc.shape[:-2]
+    MM, NN = inc.shape[-2], inc.shape[-1]
+    import math
+    B = math.prod(batch_shape)
+
+    def flat(a):
+        return a.reshape((B, MM, NN)).astype(jnp.float32)
+
+    u3, ud3, us3 = flat(inc), flat(inc_d), flat(inc_dd)
+    if MM + 1 > MAX_ROWS:  # transpose covariance (01/10-symmetric updates)
+        u3, ud3, us3 = (jnp.swapaxes(a, -1, -2) for a in (u3, ud3, us3))
+        MMs, NNs = NN, MM
+    else:
+        MMs, NNs = MM, NN
+    outs = _chunk_map(_solve_one, (u3, ud3, us3),
+                      pair_chunk(MMs, NNs, planes=3))
+    return tuple(o.reshape(batch_shape) for o in outs)

@@ -249,7 +249,8 @@ def pair_chunk(MM: int, NN: int, planes: int = 1) -> int:
 
 def _chunk_map(fn, args, chunk: int):
     """Apply ``fn`` over pair chunks of a pytree of arrays sharing their
-    leading (pair) dimension; zero-pads the tail chunk (exact no-ops)."""
+    leading (pair) dimension; zero-pads the tail chunk (exact no-ops).
+    ``fn`` may return a pytree of arrays (all chunk-leading)."""
     leaves = jax.tree_util.tree_leaves(args)
     B = leaves[0].shape[0]
     if B <= chunk:
@@ -260,8 +261,8 @@ def _chunk_map(fn, args, chunk: int):
     args = jax.tree_util.tree_map(
         lambda a: a.reshape(Bp // chunk, chunk, *a.shape[1:]), args)
     out = jax.lax.map(fn, args)
-    out = out.reshape((Bp,) + out.shape[2:])
-    return out[:B]
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape((Bp,) + o.shape[2:])[:B], out)
 
 
 # ---------------------------------------------------------------------------

@@ -241,8 +241,9 @@ def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
     """
     if solver not in ("auto", "scan", "pallas"):
         raise ValueError(
-            f"unknown solver {solver!r} for the derivatives path; the fused "
-            "triple solve currently runs the scan tier on all backends")
+            f"unknown solver {solver!r} for the derivatives path; expected "
+            "'auto' (scan for f64, Pallas for f32 on TPU), 'scan', or "
+            "'pallas' (f32 Mosaic triple wavefront)")
     f = lambda x: static_kernel.Gram_matrix(x, Y)
     if eps is None:
         G, dG = jax.jvp(f, (X,), (gamma,))
@@ -257,6 +258,22 @@ def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
     inc = increment_grid(G, dyadic_order)
     inc_d = increment_grid(dG, dyadic_order)
     inc_dd = increment_grid(ddG, dyadic_order)
+
+    from .ops import pallas_derivatives
+
+    use_pallas = (solver == "pallas"
+                  or (solver == "auto" and inc.dtype == jnp.float32
+                      and pallas_derivatives.supported(inc)))
+    if use_pallas:
+        if not pallas_derivatives.supported(inc):
+            raise ValueError(
+                "solver='pallas' derivatives require a TPU backend and a "
+                f"refined grid whose shorter side fits {inc.shape[-2:]}")
+        # f32 tier (matching the Pallas forward tier); f64-grade derivative
+        # solves stay on the scan tier
+        K, Kd, Kdd = pallas_derivatives.solve_derivatives_final(
+            inc, inc_d, inc_dd)
+        return (K.astype(G.dtype), Kd.astype(G.dtype), Kdd.astype(G.dtype))
     return scan_solver.solve_derivatives_final(inc, inc_d, inc_dd)
 
 
