@@ -1,68 +1,226 @@
-"""Hardware validation of interpret-verified features (run on a real TPU chip).
+"""Hardware validation of interpret-verified features (run on a real TPU).
 
-Validates the sheared-space backward, fused linear/RBF kernels and the
-double-double value path against the scan oracle on hardware, then compares
-fused vs streamed forward throughput at the benchmark grid. Run after any
-kernel change once a chip is reachable (the round-1 relay outage prevented
-the final on-chip run; see docs/BENCHMARKS.md)."""
-import time, jax, jax.numpy as jnp, numpy as np, sys
+Round-2 surface: df32 XLA-level error-free transforms (the excess-precision
+folding hazard interpret mode cannot catch), double-float increment prep,
+solve_df, the fused adjoint, the Pallas derivatives tier, fused
+linear/RBF kernels, the df64 value path, the blocked long-path solver, and
+a gradient-accuracy pin at the benchmark size. Ordered smallest-first so a
+relay death still leaves a usable partial record; every line flushes.
+
+Usage:  python -u scripts/tpu_validation.py [--quick] | tee .round2/tpu_val.log
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
 jax.config.update("jax_enable_x64", True)
-sys.path.insert(0, __import__("os").path.join(__import__("os").path.dirname(__file__), ".."))
+
 import sigkernel_tpu as sk
-from sigkernel_tpu.ops import scan_solver, pallas_solver, pallas_fused
+from sigkernel_tpu.ops import (scan_solver, pallas_solver, pallas_fused,
+                               pallas_adjoint, pallas_blocked,
+                               pallas_derivatives, df32, df_prep)
 from sigkernel_tpu.utils.profiling import sync
 
+QUICK = "--quick" in sys.argv
 rng = np.random.default_rng(0)
 ok = True
 
+
 def check(tag, got, want, rtol, atol=1e-7):
     global ok
-    err = np.abs(np.asarray(got)-np.asarray(want)).max()
-    rel = err / max(np.abs(np.asarray(want)).max(), 1e-30)
+    got = np.asarray(got)
+    want = np.asarray(want)
+    err = np.abs(got - want).max()
+    rel = err / max(np.abs(want).max(), 1e-30)
     good = rel < rtol or err < atol
     ok = ok and good
-    print(f"{'OK ' if good else 'FAIL'} {tag}: rel={rel:.2e}", flush=True)
+    print(f"{'OK ' if good else 'FAIL'} {tag}: rel={rel:.2e} abs={err:.2e}",
+          flush=True)
+    return rel
 
-# 1. sheared-space backward vs scan gradient (f32, real TPU)
-X = jnp.asarray(rng.normal(size=(4, 40, 3)).cumsum(1)/6, jnp.float32)
-Y = jnp.asarray(rng.normal(size=(4, 50, 3)).cumsum(1)/7, jnp.float32)
-k = sk.RBFKernel(1.0)
-g_pal = jax.grad(lambda x: sk.sig_gram(k, x, Y, dyadic_order=1, max_batch=None).sum())(X)
-g_scan = jax.grad(lambda x: sk.sig_gram(k, x, Y, dyadic_order=1, solver="scan", max_batch=None).sum())(X)
-check("sheared backward vs scan grad", g_pal, g_scan, 2e-4)
 
-# 2. fused kernels vs scan on hardware
-Xl = jnp.asarray(rng.normal(size=(8, 60, 3)).cumsum(1)/8, jnp.float32)
-w = sk.sig_kernel(sk.LinearKernel(), Xl, Xl, solver="scan", max_batch=None)
-g = pallas_fused.solve_final_linear(Xl, Xl)
-check("fused linear", g, w, 2e-5)
-w = sk.sig_kernel(sk.RBFKernel(0.5), Xl, Xl, solver="scan", max_batch=None)
-g = pallas_fused.solve_final_rbf(Xl, Xl, sigma=0.5)
-check("fused rbf", g, w, 2e-4)
-
-# 3. f64 value precision via df64 route
-X64 = jnp.asarray(rng.normal(size=(3, 50, 2)).cumsum(1)/7)
-w = sk.sig_kernel(sk.RBFKernel(1.0), X64, X64, solver="scan", max_batch=None)
-g = sk.sig_kernel(sk.RBFKernel(1.0), X64, X64, max_batch=None)  # auto->df64
-check("df64 values", g, w, 1e-11)
-
-# 4. perf: fused vs streamed forward at bench grid (64 pairs f32)
-def timeit(fn, x, y=None, n=2):
-    args = (x,) if y is None else (x, y)
-    for a in args: sync(a)
-    out = fn(*args); s = sync(out)
-    ts=[]
+def timeit(fn, *args, n=2):
+    for a in args:
+        sync(a)
+    sync(fn(*args))
+    ts = []
     for i in range(n):
-        a2 = tuple(a*(1+1e-9*(i+1)) for a in args)
-        for a in a2: sync(a)
-        t0=time.perf_counter(); s = sync(fn(*a2)); ts.append(time.perf_counter()-t0)
+        a2 = tuple(a * (1 + 1e-9 * (i + 1)) if hasattr(a, "dtype") else a
+                   for a in args)
+        for a in a2:
+            if hasattr(a, "dtype"):
+                sync(a)
+        t0 = time.perf_counter()
+        sync(fn(*a2))
+        ts.append(time.perf_counter() - t0)
     return min(ts)
 
-Xb = jnp.asarray(rng.normal(size=(64, 1024, 3)).cumsum(1)/32, jnp.float32)
-Yb = jnp.asarray(rng.normal(size=(64, 1024, 3)).cumsum(1)/32, jnp.float32)
-dt = timeit(lambda a, b: pallas_fused.solve_final_linear(a, b, dyadic_order=1), Xb, Yb)
-print(f"fused linear fwd dy1 64p: {dt*1000:.1f} ms -> {64/dt:.0f} pairs/s", flush=True)
-dt = timeit(lambda a, b: sk.sig_kernel(sk.LinearKernel(), a, b, dyadic_order=1, max_batch=None), Xb, Yb)
-print(f"streamed linear fwd dy1 64p: {dt*1000:.1f} ms -> {64/dt:.0f} pairs/s", flush=True)
+
+print(f"devices: {jax.devices()}", flush=True)
+
+# ---------------------------------------------------------------------------
+# 0. df32 EFT survival in XLA on hardware (--xla_allow_excess_precision can
+#    fold (a+b)-a patterns; constants here are numpy-pre-split / barriered)
+# ---------------------------------------------------------------------------
+x = jnp.asarray(rng.uniform(-50, 2, size=(512,)))
+got = df32.to_f64(df32.exp_(df32.from_f64(x)))
+want = np.exp(np.asarray(x))
+check("df32.exp_ on-chip (EFT survival)", got, want, 1e-12)
+
+a = jnp.asarray(rng.normal(size=(512,)))
+b = -a + 1e-9 * jnp.asarray(rng.normal(size=(512,)))
+s = df32.to_f64(df32.add_(df32.from_f64(a), df32.from_f64(b)))
+check("df32 cancelling add on-chip", s, np.asarray(a + b), 1e-9, atol=1e-13)
+
+m = df32.to_f64(df32.mul_(df32.from_f64(a), df32.from_f64(b)))
+check("df32 two-prod on-chip", m, np.asarray(a) * np.asarray(b), 1e-12)
+
+# ---------------------------------------------------------------------------
+# 1. double-float increment prep vs emulated-f64 prep
+# ---------------------------------------------------------------------------
+X = jnp.asarray(rng.normal(size=(3, 40, 3)).cumsum(1) / 6)
+Y = jnp.asarray(rng.normal(size=(3, 50, 3)).cumsum(1) / 7)
+got = df32.to_f64(df_prep.rbf_increments_df(X, Y, 1.0, False))
+from sigkernel_tpu.utils import double_difference
+want = double_difference(sk.RBFKernel(1.0).batch_kernel(X, Y))
+check("df_prep RBF increments", got, want, 1e-9, atol=5e-13)
+
+# ---------------------------------------------------------------------------
+# 2. fused kernels (values) + traced sigma
+# ---------------------------------------------------------------------------
+Xl = jnp.asarray(rng.normal(size=(8, 60, 3)).cumsum(1) / 8, jnp.float32)
+w = sk.sig_kernel(sk.LinearKernel(), Xl, Xl, solver="scan", max_batch=None)
+check("fused linear", pallas_fused.solve_final_linear(Xl, Xl), w, 5e-5)
+w = sk.sig_kernel(sk.RBFKernel(0.5), Xl, Xl, solver="scan", max_batch=None)
+check("fused rbf (traced sigma)",
+      pallas_fused.solve_final_rbf(Xl, Xl, jnp.float32(0.5)), w, 2e-4)
+
+# ---------------------------------------------------------------------------
+# 3. Pallas derivatives tier vs scan
+# ---------------------------------------------------------------------------
+Xf = jnp.asarray(rng.normal(size=(3, 30, 2)).cumsum(1) / 5, jnp.float32)
+Yf = jnp.asarray(rng.normal(size=(4, 30, 2)).cumsum(1) / 5, jnp.float32)
+gam = 0.1 * Xf
+got3 = sk.sig_kernel_and_derivatives_gram(sk.RBFKernel(1.0), Xf, Yf, gam,
+                                          dyadic_order=1, solver="pallas")
+want3 = sk.sig_kernel_and_derivatives_gram(
+    sk.RBFKernel(1.0), Xf.astype(jnp.float64), Yf.astype(jnp.float64),
+    gam.astype(jnp.float64), dyadic_order=1, solver="scan")
+for name, g_, w_ in zip(("K", "Kdiff", "Kdiffdiff"), got3, want3):
+    check(f"pallas derivatives {name}", g_, w_, 5e-4)
+
+# ---------------------------------------------------------------------------
+# 4. fused adjoint vs adjoint_dd vs scan gradient (values)
+# ---------------------------------------------------------------------------
+X32 = jnp.asarray(rng.normal(size=(4, 40, 3)).cumsum(1) / 6, jnp.float32)
+Y32 = jnp.asarray(rng.normal(size=(4, 50, 3)).cumsum(1) / 7, jnp.float32)
+k = sk.RBFKernel(1.0)
+g_pal = jax.grad(lambda x: sk.sig_gram(k, x, Y32, dyadic_order=1,
+                                       max_batch=None).sum())(X32)
+g_scan = jax.grad(lambda x: sk.sig_gram(k, x, Y32, dyadic_order=1,
+                                        solver="scan",
+                                        max_batch=None).sum())(X32)
+check("fused-adjoint grad vs scan", g_pal, g_scan, 2e-4)
+
+inc = jnp.asarray(rng.normal(size=(4, 63, 70)) * 0.05, jnp.float32)
+gct = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+a_f = pallas_adjoint.adjoint_fused(inc, gct, False, 1)
+a_d = pallas_solver.adjoint_dd(inc, gct, False, 1)
+check("adjoint_fused vs adjoint_dd", a_f, a_d, 1e-5)
+
+# ---------------------------------------------------------------------------
+# 5. df64 value path + solve_df end-to-end
+# ---------------------------------------------------------------------------
+X64 = jnp.asarray(rng.normal(size=(3, 50, 2)).cumsum(1) / 7)
+w = sk.sig_kernel(sk.RBFKernel(1.0), X64, X64, solver="scan", max_batch=None)
+check("df64 split-input values",
+      sk.sig_kernel(sk.RBFKernel(1.0), X64, X64, solver="pallas",
+                    max_batch=None), w, 1e-11)
+check("solve_df (df prep -> df64 kernel) values",
+      sk.sig_kernel(sk.RBFKernel(1.0), X64, X64, solver="df",
+                    max_batch=None), w, 1e-10)
+
+# ---------------------------------------------------------------------------
+# 6. gradient-accuracy pin at benchmark-like size (VERDICT #7): default TPU
+#    path (df route, fused f32 adjoint) vs the exact f64 scan adjoint
+# ---------------------------------------------------------------------------
+if not QUICK:
+    n_pin = 256 if QUICK else 1024
+    Xp = jnp.asarray(rng.normal(size=(2, n_pin, 3)).cumsum(1)
+                     / np.sqrt(n_pin))
+    Yp = jnp.asarray(rng.normal(size=(2, n_pin, 3)).cumsum(1)
+                     / np.sqrt(n_pin))
+    loss = lambda solver: (lambda x: sk.sig_kernel(
+        sk.RBFKernel(1.0), x, Yp, dyadic_order=1, solver=solver,
+        max_batch=None).sum())
+    g_df = jax.grad(loss("df"))(Xp)
+    g_ref = jax.grad(loss("scan"))(Xp)
+    rel = check(f"grad pin len{n_pin} dy1: df-path vs f64 adjoint",
+                g_df, g_ref, 5e-4)
+    print(f"   (documented gradient rtol at benchmark size: {rel:.2e})",
+          flush=True)
+
+# ---------------------------------------------------------------------------
+# 7. blocked long-path solver: correctness + >8192-row stress
+# ---------------------------------------------------------------------------
+inc_b = jnp.asarray(rng.normal(size=(1, 500, 480)) * 0.02, jnp.float32)
+w = scan_solver.solve_final(inc_b)
+check("blocked solver (multi-stripe small)",
+      pallas_blocked.solve_final(inc_b, dyadic_order=0), w, 3e-5)
+
+if not QUICK:
+    n_big = 8600  # > MAX_ROWS on both sides
+    inc_big = jnp.asarray(
+        rng.normal(size=(1, n_big, n_big)) * (0.5 / n_big), jnp.float32)
+    t0 = time.perf_counter()
+    got = pallas_blocked.solve_final(inc_big)
+    sync(got)
+    dt = time.perf_counter() - t0
+    w = scan_solver.solve_final(inc_big)
+    check(f"blocked stress {n_big}^2 (> VMEM bound)", got, w, 5e-4)
+    print(f"   blocked {n_big}^2 fwd: {dt:.1f}s (incl. compile)", flush=True)
+
+# ---------------------------------------------------------------------------
+# 8. stage timings at the benchmark grid
+# ---------------------------------------------------------------------------
+if not QUICK:
+    P = 64
+    Xb = jnp.asarray(rng.normal(size=(P, 1024, 3)).cumsum(1) / 32)
+    Yb = jnp.asarray(rng.normal(size=(P, 1024, 3)).cumsum(1) / 32)
+    kb = sk.RBFKernel(1.0)
+
+    dt = timeit(jax.jit(lambda a, b: df32.to_f64(
+        df_prep.rbf_increments_df(a, b, 1.0, False)).sum()), Xb, Yb)
+    print(f"df prep fwd 64p len1024: {dt*1000:.0f} ms", flush=True)
+
+    dt = timeit(jax.jit(lambda a, b: sk.sig_kernel(
+        kb, a, b, dyadic_order=1, solver='df', max_batch=None).sum()),
+        Xb, Yb)
+    print(f"df fwd  64p len1024 dy1: {dt*1000:.0f} ms "
+          f"-> {P/dt:.0f} pairs/s", flush=True)
+
+    step = jax.jit(lambda a, b: jax.value_and_grad(
+        lambda x: sk.sig_kernel(kb, x, b, dyadic_order=1, solver='df',
+                                max_batch=None).sum())(a))
+    dt = timeit(lambda a, b: step(a, b)[1], Xb, Yb)
+    print(f"df fwd+bwd 64p len1024 dy1: {dt*1000:.0f} ms "
+          f"-> {P/dt:.0f} pairs/s", flush=True)
+
+    # A/B: fused adjoint vs adjoint_dd at the benchmark grid
+    inc_ab = jnp.asarray(rng.normal(size=(P, 1023, 1023)) * 0.001,
+                         jnp.float32)
+    g_ab = jnp.ones((P,), jnp.float32)
+    dt = timeit(jax.jit(lambda i, g: pallas_adjoint.adjoint_fused(
+        i, g, False, 1).sum()), inc_ab, g_ab)
+    print(f"adjoint_fused 64p 2046^2: {dt*1000:.0f} ms", flush=True)
+    dt = timeit(jax.jit(lambda i, g: pallas_solver.adjoint_dd(
+        i, g, False, 1).sum()), inc_ab, g_ab)
+    print(f"adjoint_dd    64p 2046^2: {dt*1000:.0f} ms", flush=True)
 
 print("ALL OK" if ok else "FAILURES PRESENT", flush=True)

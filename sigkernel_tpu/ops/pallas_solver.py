@@ -101,7 +101,8 @@ DMA_BATCH = 4
 
 
 def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
-                      *, n_steps, MM, row_axis, naive, grid_out):
+                      *, n_steps, MM, row_axis, naive, grid_out,
+                      out_offset=0):
     """Single-program wavefront sweep over slabs of shape ``state.shape[1:]``.
 
     ``row_axis``: which slab axis carries the diagonal row index ``i``
@@ -160,12 +161,13 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
                     @pl.when(q >= 2)
                     def _():
                         pltpu.make_async_copy(
-                            state.at[_ix(vm2_s)], out_ref.at[_ix(q - 2)],
+                            state.at[_ix(vm2_s)],
+                            out_ref.at[_ix(q - 2 + out_offset)],
                             isem.at[_ix(2 + t % 2)]).wait()
                 state[vm2_s] = v
                 if grid_out:
                     pltpu.make_async_copy(state.at[_ix(vm2_s)],
-                                          out_ref.at[_ix(q)],
+                                          out_ref.at[_ix(q + out_offset)],
                                           isem.at[_ix(2 + t % 2)]).start()
         return 0
 
@@ -176,12 +178,12 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
     last = (n_steps - 1) % 2
     if grid_out:
         pltpu.make_async_copy(state.at[_ix(last)],
-                              out_ref.at[_ix(n_steps - 1)],
+                              out_ref.at[_ix(n_steps - 1 + out_offset)],
                               isem.at[_ix(2 + last)]).wait()
         @pl.when(n_steps >= 2)
         def _():
             pltpu.make_async_copy(state.at[_ix(1 - last)],
-                                  out_ref.at[_ix(n_steps - 2)],
+                                  out_ref.at[_ix(n_steps - 2 + out_offset)],
                                   isem.at[_ix(2 + (1 - last))]).wait()
     else:
         out_ref[...] = state[last]
@@ -400,18 +402,23 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False,
 # ---------------------------------------------------------------------------
 
 def _solve_stack_one(inc3: jnp.ndarray, naive: bool,
-                     dyadic_order: int = 0):
+                     dyadic_order: int = 0, out_pad: int = 0):
     """Like :func:`_solve_grid_one` but returns the raw diagonal stack
-    ``(Tp, *slab)`` (plus geometry) without unshearing."""
+    ``(Tp, *slab)`` (plus geometry) without unshearing.
+
+    ``out_pad``: leading never-written entries in the output stack (the
+    fused adjoint's descending window loads need headroom; entry ``q``
+    lands at stack position ``q + out_pad``)."""
     inc3 = dyadic_refine(inc3, dyadic_order)
     B, MM, NN = inc3.shape
     sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
     Tp = sk.shape[0]
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
-                               row_axis=row_axis, naive=naive, grid_out=True)
+                               row_axis=row_axis, naive=naive, grid_out=True,
+                               out_offset=out_pad)
     stack = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp + out_pad,) + slab, jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[

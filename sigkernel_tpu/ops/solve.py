@@ -169,13 +169,17 @@ def _grid_route_bwd(inc, g, naive, solver, dyadic_order):
 
 
 def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
+    from . import pallas_adjoint
+
     s = _resolve(solver, inc, dyadic_order)
     if s in ("pallas", "pallas_df64") and not (
             s == "pallas_df64" and grad_solver == "df64"):
-        # sheared-space adjoint: both sweeps stay as diagonal stacks; no
-        # solution grid is ever materialised (f32 backward, see module doc)
-        KK = pallas_solver.adjoint_dd(inc, g, naive=naive,
-                                      dyadic_order=dyadic_order)
+        # fused adjoint: the reverse sweep multiplies the forward stack
+        # in-flight (falls back to the sheared-space adjoint_dd for
+        # rectangles whose longer side exceeds VMEM); f32 backward, see
+        # module doc
+        KK = pallas_adjoint.adjoint_fused(inc, g, naive=naive,
+                                          dyadic_order=dyadic_order)
         return (_collapse_refined(KK, dyadic_order, inc.dtype),)
     # full-precision route: scan tier, or grad_solver="df64" on the
     # double-double tier (both grid sweeps + product run f64-grade)
@@ -227,10 +231,12 @@ def _solve_df_fwd(dd_df, naive, dyadic_order):
 
 
 def _solve_df_bwd(naive, dyadic_order, dd_df, g):
+    from . import pallas_adjoint
+
     hi, lo = dd_df
     if _df_supported(hi, dyadic_order):
-        KK = pallas_solver.adjoint_dd(hi, g, naive=naive,
-                                      dyadic_order=dyadic_order)
+        KK = pallas_adjoint.adjoint_fused(hi, g, naive=naive,
+                                          dyadic_order=dyadic_order)
         ct = _collapse_refined(KK, dyadic_order, jnp.float32)
     else:
         inc = hi.astype(jnp.float64) + lo.astype(jnp.float64)

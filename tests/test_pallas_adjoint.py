@@ -1,0 +1,75 @@
+"""Fused adjoint (reverse sweep x forward stack in-flight) vs adjoint_dd
+and the exact grid-route cotangent (interpret on CPU)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from sigkernel_tpu.ops import scan_solver, pallas_adjoint, pallas_solver
+
+ON_TPU = bool(os.environ.get("SIGKERNEL_TEST_TPU"))
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode():
+    if ON_TPU:
+        yield
+    else:
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            yield
+
+
+def _oracle_cot(inc, g, naive, dyadic_order):
+    """Exact refined cotangent via two full grid solves (f64)."""
+    from sigkernel_tpu.utils import dyadic_refine
+
+    inc = dyadic_refine(jnp.asarray(inc, jnp.float64), dyadic_order)
+    grid = scan_solver.solve_grid(inc, naive=naive)
+    inc_r = jnp.flip(jnp.flip(inc, -1), -2)
+    grid_r = scan_solver.solve_grid(inc_r, naive=naive)
+    grid_r = jnp.flip(jnp.flip(grid_r, -1), -2)
+    KK = grid[..., :-1, :-1] * grid_r[..., 1:, 1:]
+    return np.asarray(g)[:, None, None] * np.asarray(KK)
+
+
+@pytest.mark.parametrize("naive", [False, True])
+@pytest.mark.parametrize("shape", [(2, 6, 6), (1, 5, 9), (3, 9, 5),
+                                   (2, 3, 3)])
+def test_fused_adjoint_matches_oracle(rng, naive, shape):
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(shape[0],)), jnp.float32)
+    want = _oracle_cot(inc, g, naive, 0)
+    got = np.asarray(pallas_adjoint.adjoint_fused(inc, g, naive))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("dyadic_order", [1, 2])
+def test_fused_adjoint_dyadic(rng, dyadic_order):
+    inc = jnp.asarray(rng.normal(size=(2, 5, 4)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2,)), jnp.float32)
+    want = _oracle_cot(inc, g, False, dyadic_order)
+    got = np.asarray(pallas_adjoint.adjoint_fused(inc, g, False,
+                                                  dyadic_order))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+def test_fused_adjoint_matches_adjoint_dd(rng):
+    """Same values as the unfused sheared-space adjoint."""
+    inc = jnp.asarray(rng.normal(size=(2, 7, 8)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(2,)), jnp.float32)
+    a = np.asarray(pallas_adjoint.adjoint_fused(inc, g, False, 1))
+    b = np.asarray(pallas_solver.adjoint_dd(inc, g, False, 1))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-7)
+
+
+def test_fused_adjoint_rect_fallback(rng, monkeypatch):
+    """Rectangles whose longer side exceeds the bound fall back to
+    adjoint_dd (min-side bound)."""
+    monkeypatch.setattr(pallas_adjoint, "MAX_ROWS", 8)
+    inc = jnp.asarray(rng.normal(size=(1, 4, 20)) * 0.1, jnp.float32)
+    g = jnp.ones((1,), jnp.float32)
+    got = np.asarray(pallas_adjoint.adjoint_fused(inc, g, False))
+    want = _oracle_cot(inc, g, False, 0)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
