@@ -49,10 +49,11 @@ DMA_BATCH = 4
 
 
 def supported(inc) -> bool:
-    """TPU + f32 + too big for the single-slab kernel (either side order).
+    """TPU + f32/f64 + too big for the single-slab kernels (either order).
 
     This tier complements :func:`..pallas_solver.supported`; the dispatcher
-    tries the single-slab kernel first.
+    tries the single-slab kernels first. f64 increments run the
+    double-double stripe kernel.
     """
     try:
         platform = jax.devices()[0].platform
@@ -60,7 +61,7 @@ def supported(inc) -> bool:
         return False
     if platform not in ("tpu", "axon"):
         return False
-    if inc.dtype != jnp.float32:
+    if inc.dtype not in (jnp.float32, jnp.float64):
         return False
     MM, NN = inc.shape[-2], inc.shape[-1]
     return MM > 0 and NN > 0 and min(MM, NN) + 1 > MAX_ROWS
@@ -203,6 +204,219 @@ def _stripe_bottom_row(inc_s: jnp.ndarray, bd: jnp.ndarray,
     out = jnp.concatenate(
         [jnp.ones((P, 1), jnp.float32), vals], axis=1)
     return out[:B]
+
+
+# ---------------------------------------------------------------------------
+# Double-double stripes: the same decomposition with (hi, lo) planes
+# ---------------------------------------------------------------------------
+
+def _stripe_kernel_df(inch_hbm, incl_hbm, bdh_hbm, bdl_hbm, bd01_ref,
+                      rowh_ref, rowl_ref, sh, sl, ibh, ibl, bbh, bbl, isem,
+                      *, n_steps, MM, naive):
+    """Double-double stripe sweep (hi/lo planes throughout).
+
+    bd01_ref: (2, 2, P, 1) VMEM -- (component, diag) initial boundary.
+    isem: 12 semaphores (inc-h/l, bd-h/l, row-h/l; 2 slots each).
+    """
+    from .pallas_df64 import _df_scheme
+
+    T = DMA_BATCH
+    P, L = sh.shape[1], sh.shape[2]
+    n_batches = pl.cdiv(n_steps, T)
+    ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    init1 = jnp.ones((P, L), jnp.float32)
+    init0 = jnp.zeros((P, L), jnp.float32)
+    sh[0] = jnp.where(ii == 0, bd01_ref[0, 0], init1)
+    sh[1] = jnp.where(ii == 0, bd01_ref[0, 1], init1)
+    sl[0] = jnp.where(ii == 0, bd01_ref[1, 0], init0)
+    sl[1] = jnp.where(ii == 0, bd01_ref[1, 1], init0)
+
+    def in_copies(b, slot):
+        ds = pl.ds(_ix(b * T), T)
+        return (
+            pltpu.make_async_copy(inch_hbm.at[ds], ibh.at[_ix(slot)],
+                                  isem.at[_ix(slot)]),
+            pltpu.make_async_copy(incl_hbm.at[ds], ibl.at[_ix(slot)],
+                                  isem.at[_ix(2 + slot)]),
+            pltpu.make_async_copy(bdh_hbm.at[ds], bbh.at[_ix(slot)],
+                                  isem.at[_ix(4 + slot)]),
+            pltpu.make_async_copy(bdl_hbm.at[ds], bbl.at[_ix(slot)],
+                                  isem.at[_ix(6 + slot)]),
+        )
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        for t in range(T):
+            q = b * T + t
+            vm2, vm1 = t % 2, 1 - (t % 2)
+
+            @pl.when(q < n_steps)
+            def _():
+                uh, ul = ibh[bslot, t], ibl[bslot, t]
+                k10h, k10l = sh[vm1], sl[vm1]
+                k01h = pltpu.roll(k10h, jnp.int32(1), axis=1)
+                k01l = pltpu.roll(k10l, jnp.int32(1), axis=1)
+                k00h = pltpu.roll(sh[vm2], jnp.int32(1), axis=1)
+                k00l = pltpu.roll(sl[vm2], jnp.int32(1), axis=1)
+                vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
+                                    uh, ul, naive)
+                vh = jnp.where(ii == 0, bbh[bslot, t], vh)
+                vl = jnp.where(ii == 0, bbl[bslot, t], vl)
+                west = (ii == q + 2) | (ii > MM)
+                vh = jnp.where(west, one, vh)
+                vl = jnp.where(west, zero, vl)
+
+                @pl.when(q >= 2)
+                def _():
+                    pltpu.make_async_copy(
+                        sh.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
+                        rowh_ref.at[_ix(q - 2)],
+                        isem.at[_ix(8 + t % 2)]).wait()
+                    pltpu.make_async_copy(
+                        sl.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
+                        rowl_ref.at[_ix(q - 2)],
+                        isem.at[_ix(10 + t % 2)]).wait()
+                sh[vm2] = vh
+                sl[vm2] = vl
+                pltpu.make_async_copy(
+                    sh.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
+                    rowh_ref.at[_ix(q)], isem.at[_ix(8 + t % 2)]).start()
+                pltpu.make_async_copy(
+                    sl.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
+                    rowl_ref.at[_ix(q)], isem.at[_ix(10 + t % 2)]).start()
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    for off in range(2):  # static: drain the last two row writes
+        step = n_steps - 1 - off
+        if step >= 0:
+            par = step % 2
+            pltpu.make_async_copy(sh.at[_ix(par), :, pl.ds(_ix(MM), 1)],
+                                  rowh_ref.at[_ix(step)],
+                                  isem.at[_ix(8 + par)]).wait()
+            pltpu.make_async_copy(sl.at[_ix(par), :, pl.ds(_ix(MM), 1)],
+                                  rowl_ref.at[_ix(step)],
+                                  isem.at[_ix(10 + par)]).wait()
+
+
+def _stripe_bottom_row_df(hi_s, lo_s, bd, naive):
+    """DF stripe sweep; returns the DF bottom row.
+
+    ``hi_s``/``lo_s``: (B, MM_s, NN) refined stripe component planes.
+    ``bd``: DF pair of (B, NN + 1). Returns a DF pair of (B, NN + 1).
+    """
+    B, MM, NN = hi_s.shape
+    n_steps = MM + NN - 1
+    P = ceil_to(B, SUBLANES)
+    L = ceil_to(MM + 1, LANES)
+    Tp = ceil_to(n_steps, max(LANES, DMA_BATCH))
+
+    def shear(x):
+        S = scan_solver.shear_rows(x, out_width=Tp)
+        S = jnp.pad(S, ((0, P - B), (1, L - (MM + 1)), (0, 0)))
+        return jnp.transpose(S, (2, 0, 1))
+
+    def bd_stream(c, fill):
+        cp = jnp.pad(c, ((0, P - B), (0, 0)), constant_values=fill)
+        st = jnp.pad(cp[:, 2:], ((0, 0), (0, Tp - (cp.shape[1] - 2))),
+                     constant_values=fill)
+        return jnp.transpose(st, (1, 0))[:, :, None], \
+            jnp.transpose(cp[:, :2], (1, 0))[:, :, None]
+
+    bdh, bdl = bd
+    skh, skl = shear(hi_s), shear(lo_s)
+    bdh_in, bdh01 = bd_stream(bdh, 1.0)
+    bdl_in, bdl01 = bd_stream(bdl, 0.0)
+    bd01 = jnp.stack([bdh01, bdl01])            # (2, 2, P, 1)
+
+    kernel = functools.partial(_stripe_kernel_df, n_steps=n_steps, MM=MM,
+                               naive=naive)
+    rows_h, rows_l = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Tp, P, 1), jnp.float32),) * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((12,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(skh, skl, bdh_in, bdl_in, bd01)
+
+    def unpack(rows, fill):
+        rT = jnp.transpose(rows[:, :, 0], (1, 0))
+        vals = lax.dynamic_slice_in_dim(rT, MM - 1, NN, axis=1)
+        first = jnp.full((P, 1), fill, jnp.float32)
+        return jnp.concatenate([first, vals], axis=1)[:B]
+
+    return unpack(rows_h, 1.0), unpack(rows_l, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final_df(hi: jnp.ndarray, lo: jnp.ndarray, naive: bool = False,
+                   dyadic_order: int = 0) -> jnp.ndarray:
+    """Blocked double-double forward solve on DF (hi, lo) increments;
+    returns f64 ``K[..., -1, -1]`` for grids beyond the VMEM bound."""
+    batch_shape = hi.shape[:-2]
+    f = 2 ** dyadic_order
+    Mb, Nb = hi.shape[-2], hi.shape[-1]
+    MM, NN = Mb * f, Nb * f
+    B0 = math.prod(batch_shape)
+    hi3 = hi.reshape((B0, Mb, Nb))
+    lo3 = lo.reshape((B0, Mb, Nb))
+
+    Rb = (MAX_ROWS - 1) // f * f
+    n_stripes = -(-MM // Rb)
+
+    def one(args):
+        hi_c, lo_c = args
+        B = hi_c.shape[0]
+        bd = (jnp.ones((B, NN + 1), jnp.float32),
+              jnp.zeros((B, NN + 1), jnp.float32))
+        for s in range(n_stripes):
+            t0 = s * Rb // f
+            t1 = min(Mb, t0 + Rb // f)
+            sh = dyadic_refine(hi_c[:, t0:t1, :], dyadic_order)
+            sl = dyadic_refine(lo_c[:, t0:t1, :], dyadic_order)
+            bd = _stripe_bottom_row_df(sh, sl, bd, naive)
+        return bd[0][:, NN].astype(jnp.float64) \
+            + bd[1][:, NN].astype(jnp.float64)
+
+    chunk = max(_pair_chunk_blocked(min(Rb, MM), NN) // 2, SUBLANES)
+    out = _chunk_map(one, (hi3, lo3), chunk)
+    return out.reshape(batch_shape)
+
+
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final_f64(inc: jnp.ndarray, naive: bool = False,
+                    dyadic_order: int = 0) -> jnp.ndarray:
+    """Blocked solve for f64 increments: split once, run the DF stripes."""
+    hi = inc.astype(jnp.float32)
+    lo = (inc - hi.astype(jnp.float64)).astype(jnp.float32)
+    return solve_final_df(hi, lo, naive=naive, dyadic_order=dyadic_order)
 
 
 def _pair_chunk_blocked(MM_s: int, NN: int) -> int:

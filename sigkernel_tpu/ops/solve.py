@@ -83,6 +83,9 @@ def _solve_final(inc, naive, solver, dyadic_order):
         return pallas_df64.solve_final(inc, naive=naive,
                                        dyadic_order=dyadic_order)
     if s == "pallas_blocked":
+        if inc.dtype == jnp.float64:
+            return pallas_blocked.solve_final_f64(inc, naive=naive,
+                                                  dyadic_order=dyadic_order)
         return pallas_blocked.solve_final(inc, naive=naive,
                                           dyadic_order=dyadic_order)
     return scan_solver.solve_final(dyadic_refine(inc, dyadic_order),
@@ -214,8 +217,14 @@ def _solve_df_final(dd_df, naive, dyadic_order):
     if _df_supported(hi, dyadic_order):
         return pallas_df64.solve_final_df(hi, lo, naive=naive,
                                           dyadic_order=dyadic_order)
-    # portable fallback (CPU tests / long paths): combine and run the scan
-    # tier at the widest enabled precision
+    f = 2 ** dyadic_order
+    probe = jax.ShapeDtypeStruct(
+        hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
+    if pallas_blocked.supported(probe):  # beyond VMEM on both sides
+        return pallas_blocked.solve_final_df(hi, lo, naive=naive,
+                                             dyadic_order=dyadic_order)
+    # portable fallback (CPU tests): combine and run the scan tier at the
+    # widest enabled precision
     inc = hi.astype(jnp.float64) + lo.astype(jnp.float64)
     return scan_solver.solve_final(dyadic_refine(inc, dyadic_order),
                                    naive=naive)

@@ -134,35 +134,45 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
 
 def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
                        max_batch, grad_solver="auto"):
-    """Symmetric Gram ``G(X, X)`` from upper-triangular pairs only.
+    """Symmetric Gram ``G(X, X)``: block upper triangle, mirrored.
 
     The wavefront solve is exactly transpose-covariant, so ``K[j, i]`` equals
-    ``K[i, j]`` and computing both is wasted work -- this halves the solve
-    cost, the same exploitation the reference's Cython ``sym`` path does by
-    mirroring (reference cython_backend.pyx:74-97). Pairs are gathered into
-    a flat batch and solved with ``batch_kernel``.
+    ``K[i, j]`` and computing both is wasted work -- the same exploitation
+    the reference's Cython ``sym`` path does by mirroring (reference
+    cython_backend.pyx:74-97). Off-diagonal *blocks* of the triangle are
+    solved once as plain rectangles through the Gram kernels, so no path
+    copies are ever gathered (the pair-flat formulation duplicated ~100x
+    the unique path data in HBM); only the diagonal blocks solve their
+    redundant lower half (a ``block/(2A)`` fraction of extra solves).
     """
-    import numpy as np
-
     A = X.shape[0]
-    iu, ju = np.triu_indices(A)
-    n_pairs = iu.shape[0]
-    chunk = n_pairs if max_batch is None else max_batch * max_batch
+    blk = A if max_batch is None else min(max_batch, A)
+    kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
+              max_batch=None, grad_solver=grad_solver)
 
-    vals_parts = []
-    for s in range(0, n_pairs, chunk):
-        # gather only this chunk's path copies (bounds HBM to ~chunk paths;
-        # gathering all A(A+1)/2 pairs up front OOMs for large A)
-        iu_c = iu[s:s + chunk]
-        ju_c = ju[s:s + chunk]
-        vals_parts.append(sig_kernel(
-            static_kernel, X[iu_c], X[ju_c], dyadic_order=dyadic_order,
-            naive=naive, solver=solver, max_batch=None,
-            grad_solver=grad_solver))
-    vals = vals_parts[0] if len(vals_parts) == 1 \
-        else jnp.concatenate(vals_parts)
-    K = jnp.zeros((A, A), vals.dtype).at[iu, ju].set(vals)
-    return K + K.T - jnp.diag(jnp.diag(K))
+    if blk >= A:
+        K = sig_gram(static_kernel, X, X, sym=False, **kw)
+        iu = jnp.triu(jnp.ones((A, A), bool))
+        Ku = jnp.where(iu, K, 0.0)
+        return Ku + Ku.T - jnp.diag(jnp.diag(K))
+
+    starts = list(range(0, A, blk))
+    rows = []
+    for si, s in enumerate(starts):
+        xs = X[s:s + blk]
+        row = [None] * len(starts)
+        row[si] = sig_gram(static_kernel, xs, xs, sym=False, **kw)
+        for tj in range(si + 1, len(starts)):
+            t = starts[tj]
+            row[tj] = sig_gram(static_kernel, xs, X[t:t + blk], sym=False,
+                               **kw)
+        rows.append(row)
+    # mirror the blocks below the diagonal
+    for si in range(len(starts)):
+        for tj in range(si):
+            rows[si][tj] = rows[tj][si].T
+    K = jnp.concatenate([jnp.concatenate(r, axis=1) for r in rows], axis=0)
+    return 0.5 * (K + K.T)  # diagonal blocks: exact symmetry up to roundoff
 
 
 def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,

@@ -162,3 +162,18 @@ def test_length_one_paths_are_boundary(rng, kernel):
     np.testing.assert_allclose(k, np.ones(4), rtol=0)
     G = np.asarray(sk.sig_gram(kernel, X[:, :1, :], X[:, :1, :]))
     np.testing.assert_allclose(G, np.ones((4, 4)), rtol=0)
+
+
+def test_sym_gram_block_triangle_multiblock(rng, kernel):
+    """Block-triangle sym Gram == full Gram across block-count regimes,
+    and gradients flow through the mirrored blocks."""
+    X = jnp.asarray(make_paths(rng, 7, 9, 2))
+    full = np.asarray(sk.sig_gram(kernel, X, X, sym=False, max_batch=None))
+    for mb in (None, 3, 7, 100):
+        got = np.asarray(sk.sig_gram(kernel, X, X, sym=True, max_batch=mb))
+        np.testing.assert_allclose(got, 0.5 * (full + full.T), rtol=1e-10)
+        np.testing.assert_allclose(got, got.T, rtol=0)
+    import jax
+    g = jax.grad(lambda x: sk.sig_gram(kernel, x, x, sym=True,
+                                       max_batch=3).sum())(X)
+    assert np.isfinite(np.asarray(g)).all()

@@ -80,3 +80,25 @@ def test_dispatch_routes_blocked(rng, monkeypatch):
     assert solve_mod._resolve("auto", inc, 0) == "pallas_blocked"
     inc_small = jnp.zeros((1, 10, 10), jnp.float32)
     assert solve_mod._resolve("auto", inc_small, 0) == "pallas"
+
+
+@pytest.mark.parametrize("dyadic_order", [0, 1])
+def test_blocked_df64_matches_scan_f64(rng, small_rows, dyadic_order):
+    """Double-double stripes: f64-grade precision beyond the row bound."""
+    from sigkernel_tpu.utils import dyadic_refine
+
+    inc = jnp.asarray(rng.normal(size=(2, 24, 22)) * 0.05)
+    assert inc.dtype == jnp.float64
+    want = np.asarray(scan_solver.solve_final(
+        dyadic_refine(inc, dyadic_order)))
+    got = np.asarray(pallas_blocked.solve_final_f64(
+        inc, dyadic_order=dyadic_order))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_blocked_df64_boundary_chain(rng, small_rows):
+    """Multi-stripe DF boundary handoff keeps df64 accuracy end to end."""
+    inc = jnp.asarray(rng.normal(size=(1, 70, 40)) * 0.03)
+    want = np.asarray(scan_solver.solve_final(inc))
+    got = np.asarray(pallas_blocked.solve_final_f64(inc))
+    np.testing.assert_allclose(got, want, rtol=1e-12)
