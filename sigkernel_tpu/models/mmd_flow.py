@@ -90,12 +90,15 @@ class MMDFlow:
                 history = list(np.asarray(state["history"]))
                 start = latest + 1
 
+        from ..utils.logging import log_event
+
         for t in range(start, n_steps):
             X, value = mmd_flow_step(
                 self.static_kernel, X, Y, lr=self.lr,
                 dyadic_order=self.dyadic_order, naive=self.naive,
                 solver=self.solver)
             history.append(float(value))
+            log_event("mmd_flow.step", step=t, mmd=float(value))
             if callback is not None:
                 callback(t, X, value)
             if (self.checkpoint_dir is not None

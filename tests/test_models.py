@@ -72,3 +72,30 @@ def test_mmd_flow_checkpoint_resume(rng, tmp_path):
     np.testing.assert_allclose(np.asarray(X_res), np.asarray(X_full),
                                rtol=1e-10)
     np.testing.assert_allclose(h_res, h_full, rtol=1e-10)
+
+
+def test_structured_logging_events(tmp_path, monkeypatch):
+    """log_event appends JSON lines to SIGKERNEL_LOG_FILE and MMDFlow.fit
+    emits per-step events."""
+    import json
+    from sigkernel_tpu.utils.logging import log_event
+
+    log = tmp_path / "events.jsonl"
+    monkeypatch.setenv("SIGKERNEL_LOG_FILE", str(log))
+    rec = log_event("unit.test", foo=1, bar="x")
+    assert rec["event"] == "unit.test" and rec["foo"] == 1
+
+    import numpy as np
+    import jax.numpy as jnp
+    import sigkernel_tpu as sk
+    from sigkernel_tpu.models import MMDFlow
+
+    rng = np.random.default_rng(0)
+    X0 = jnp.asarray(rng.normal(size=(4, 6, 2)).cumsum(axis=1) * 0.2)
+    Y = jnp.asarray(rng.normal(size=(4, 6, 2)).cumsum(axis=1) * 0.2)
+    MMDFlow(sk.RBFKernel(1.0), lr=0.01).fit(X0, Y, n_steps=2)
+
+    lines = [json.loads(l) for l in log.read_text().splitlines()]
+    events = [l["event"] for l in lines]
+    assert events.count("mmd_flow.step") == 2
+    assert all("t" in l for l in lines)
