@@ -38,7 +38,10 @@ DATASETS = [
 MAX_LENGTH = 149  # subsample cap, as in the reference (:97-98)
 
 
-def load_uea(name):
+def load_uea(name, data_dir=None):
+    if data_dir:  # local archive: the library's zero-dep .ts parser
+        from sigkernel_tpu.datasets import load_uea_dataset
+        return load_uea_dataset(name, data_dir)
     from tslearn.datasets import UCR_UEA_datasets
     x_train, y_train, x_test, y_test = UCR_UEA_datasets().load_dataset(name)
     if x_train is None:
@@ -75,7 +78,7 @@ def run_dataset(name, args, results):
     if name == "synthetic":
         x_train, y_train, x_test, y_test = make_synthetic()
     else:
-        x_train, y_train, x_test, y_test = load_uea(name)
+        x_train, y_train, x_test, y_test = load_uea(name, args.data_dir)
 
     x_train = subsample(np.nan_to_num(np.asarray(x_train, float)))
     x_test = subsample(np.nan_to_num(np.asarray(x_test, float)))
@@ -111,6 +114,9 @@ def main():
     ap.add_argument("--lead-lag", action="store_true", default=False)
     ap.add_argument("--dyadic-order", type=int, default=0)
     ap.add_argument("--max-batch", type=int, default=100)
+    ap.add_argument("--data-dir", default=None,
+                    help="local UEA archive root (parsed with the built-in "
+                         ".ts loader; no tslearn needed)")
     ap.add_argument("--out", default="results/uea_results.pkl")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore existing results file instead of resuming")
