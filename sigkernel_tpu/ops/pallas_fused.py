@@ -302,6 +302,141 @@ def _rbf_one(xy, M, N, D, inv_sigma, naive):
     return out[:B, MM]
 
 
+# ---------------------------------------------------------------------------
+# Fused RBF at dyadic_order >= 1: stretched-register formulation
+#
+# The refined increment is dd_base[(i-1)//f, (q+1-i)//f] / f^2, and the
+# rolling y-point register stays a *pure roll* at any refinement factor:
+# R_q[i] = y[(q+1-i)//f] satisfies R_q[i] = R_{q-1}[i-1] with head
+# R_q[0] = y[(q+1)//f]. With row-stretched x streams (PX[i] = x[(i-1)//f],
+# PX1 = x[.. + 1], static) and two register banks (columns C and C+1), the
+# four Gram corners are generated per cell per step (4 exps; the dyadic-0
+# kernel's rolled-diagonal reuse breaks under the 2-D stretch).
+# ---------------------------------------------------------------------------
+
+def _fused_rbf_dyadic_kernel(px_ref, px1_ref, sxa_ref, sxa1_ref, ypts_ref,
+                             ynrm_ref, out_ref, state, ry, ry1, sy, sy1,
+                             *, n_steps, MM, N, D, f, inv_f2, naive):
+    """px/px1: (D, P, L) stretched x points; sxa/sxa1: (P, L) their square
+    norms. ypts: (D, P, Ly); ynrm: (P, Ly). Registers ry/ry1 (D, P, L) and
+    sy/sy1 (P, L) hold y[(q+1-i)//f] / y[.. + 1] and their norms."""
+    P, L = state.shape[1], state.shape[2]
+    ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    one = jnp.float32(1.0)
+
+    state[0] = jnp.ones((P, L), jnp.float32)
+    state[1] = jnp.ones((P, L), jnp.float32)
+    # pre-advance init: row 0 holds y[0] / y[1] (consumed valid only there)
+    for d in range(D):
+        ry[d] = jnp.zeros((P, L), jnp.float32)
+        ry[d, :, 0:1] = ypts_ref[d, :, 0:1]
+        ry1[d] = jnp.zeros((P, L), jnp.float32)
+        ry1[d, :, 0:1] = ypts_ref[d, :, 1:2] if N > 1 \
+            else jnp.zeros((P, 1), jnp.float32)
+    sy[...] = jnp.zeros((P, L), jnp.float32)
+    sy[:, 0:1] = ynrm_ref[:, 0:1]
+    sy1[...] = jnp.zeros((P, L), jnp.float32)
+    sy1[:, 0:1] = ynrm_ref[:, 1:2] if N > 1 \
+        else jnp.zeros((P, 1), jnp.float32)
+
+    def head(ref, idx):
+        return jax.lax.dynamic_slice(
+            ref, (_ix(0), _ix(jnp.minimum(idx, N - 1))), (P, 1))
+
+    def body(q, _):
+        c_head = (q + 1) // f   # jax traced int32 floordiv
+        ip = jnp.zeros((P, L), jnp.float32)    # PX . R
+        ip1 = jnp.zeros((P, L), jnp.float32)   # PX1 . R
+        jp = jnp.zeros((P, L), jnp.float32)    # PX . R'
+        jp1 = jnp.zeros((P, L), jnp.float32)   # PX1 . R'
+        for d in range(D):
+            r = pltpu.roll(ry[d], jnp.int32(1), axis=1)
+            r = jax.lax.dynamic_update_slice(
+                r, head(ypts_ref[d], c_head), (_ix(0), _ix(0)))
+            ry[d] = r
+            r1 = pltpu.roll(ry1[d], jnp.int32(1), axis=1)
+            r1 = jax.lax.dynamic_update_slice(
+                r1, head(ypts_ref[d], c_head + 1), (_ix(0), _ix(0)))
+            ry1[d] = r1
+            ip = ip + px_ref[d] * r
+            ip1 = ip1 + px1_ref[d] * r
+            jp = jp + px_ref[d] * r1
+            jp1 = jp1 + px1_ref[d] * r1
+        s = pltpu.roll(sy[...], jnp.int32(1), axis=1)
+        s = jax.lax.dynamic_update_slice(s, head(ynrm_ref[...], c_head),
+                                         (_ix(0), _ix(0)))
+        sy[...] = s
+        s1 = pltpu.roll(sy1[...], jnp.int32(1), axis=1)
+        s1 = jax.lax.dynamic_update_slice(s1, head(ynrm_ref[...], c_head + 1),
+                                          (_ix(0), _ix(0)))
+        sy1[...] = s1
+
+        g00 = jnp.exp(2.0 * ip - sxa_ref[...] - s)
+        g01 = jnp.exp(2.0 * jp - sxa_ref[...] - s1)
+        g10 = jnp.exp(2.0 * ip1 - sxa1_ref[...] - s)
+        g11 = jnp.exp(2.0 * jp1 - sxa1_ref[...] - s1)
+        u = (g11 + g00 - g10 - g01) * jnp.float32(inv_f2)
+
+        vm2_s = lax.rem(q, jnp.int32(2))
+        vm1_s = 1 - vm2_s
+        vm1 = state[vm1_s]
+        k10 = vm1
+        k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+        k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
+        v = _scheme(k00, k01, k10, u, naive)
+        mask = (ii == 0) | (ii == q + 2) | (ii > MM)
+        state[vm2_s] = jnp.where(mask, one, v)
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_steps), body, 0)
+    out_ref[...] = state[(n_steps - 1) % 2]
+
+
+def _rbf_dyadic_one(xy, M, N, D, f, naive):
+    x, y = xy  # (chunk, M, D) pre-scaled f32 points, (chunk, N, D)
+    B = x.shape[0]
+    MM, NN = f * (M - 1), f * (N - 1)
+    n_steps = MM + NN - 1
+    P = ceil_to(B, SUBLANES)
+    L = ceil_to(MM + 1, LANES)
+    Ly = ceil_to(N, LANES)
+
+    xp = jnp.pad(x, ((0, P - B), (0, 0), (0, 0)))
+    yp = jnp.pad(y, ((0, P - B), (0, Ly - N), (0, 0)))
+    # stretched x streams: PX[i] = x[(i-1)//f], PX1[i] = x[(i-1)//f + 1]
+    # (row 0 is boundary; repeat+pad keeps everything copy-only)
+    xs = jnp.repeat(xp, f, axis=1)                       # rows 1..MM
+    PX = jnp.pad(xs[:, :MM, :], ((0, 0), (1, L - MM - 1), (0, 0)))
+    xs1 = jnp.repeat(xp[:, 1:, :], f, axis=1)
+    PX1 = jnp.pad(xs1[:, :MM, :], ((0, 0), (1, L - MM - 1), (0, 0)))
+    SXA = jnp.sum(PX * PX, axis=-1)                      # (P, L)
+    SXA1 = jnp.sum(PX1 * PX1, axis=-1)
+    PX = jnp.moveaxis(PX, -1, 0)                         # (D, P, L)
+    PX1 = jnp.moveaxis(PX1, -1, 0)
+    YP = jnp.moveaxis(yp, -1, 0)                         # (D, P, Ly)
+    SyR = jnp.sum(yp * yp, axis=-1)                      # (P, Ly)
+
+    kernel = functools.partial(_fused_rbf_dyadic_kernel, n_steps=n_steps,
+                               MM=MM, N=N, D=D, f=f,
+                               inv_f2=1.0 / (f * f), naive=naive)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((P, L), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 6,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((D, P, L), jnp.float32),
+            pltpu.VMEM((D, P, L), jnp.float32),
+            pltpu.VMEM((P, L), jnp.float32),
+            pltpu.VMEM((P, L), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(PX, PX1, SXA, SXA1, YP, SyR)
+    return out[:B, MM]
+
+
 @functools.partial(jax.jit, static_argnames=("naive",))
 def solve_final_rbf(X: jnp.ndarray, Y: jnp.ndarray, sigma,
                     naive: bool = False) -> jnp.ndarray:
@@ -320,4 +455,21 @@ def solve_final_rbf(X: jnp.ndarray, Y: jnp.ndarray, sigma,
     y = Y.astype(jnp.float32) * r
 
     return _chunk_map(lambda c: _rbf_one(c, M, N, D, 1.0, naive),
+                      (x, y), FUSED_CHUNK)
+
+
+@functools.partial(jax.jit, static_argnames=("dyadic_order", "naive"))
+def solve_final_rbf_dyadic(X: jnp.ndarray, Y: jnp.ndarray, sigma,
+                           dyadic_order: int,
+                           naive: bool = False) -> jnp.ndarray:
+    """Fused pairwise RBF solve at any dyadic order (stretched registers,
+    4 in-kernel exps per cell). ``sigma`` stays traced (rsqrt pre-scale)."""
+    B, M, D = X.shape
+    N = Y.shape[1]
+    f = 2 ** dyadic_order
+    r = lax.rsqrt(jnp.asarray(sigma, jnp.float32))
+    x = X.astype(jnp.float32) * r
+    y = Y.astype(jnp.float32) * r
+
+    return _chunk_map(lambda c: _rbf_dyadic_one(c, M, N, D, f, naive),
                       (x, y), FUSED_CHUNK)

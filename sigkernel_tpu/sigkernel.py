@@ -45,13 +45,16 @@ def _fused_pairwise(static_kernel, X, Y, dyadic_order, naive):
         return pallas_fused.solve_final_linear(
             X, Y, scale=static_kernel.scale, dyadic_order=dyadic_order,
             naive=naive)
-    if type(static_kernel) is _kernels.RBFKernel and dyadic_order == 0:
-        return pallas_fused.solve_final_rbf(
-            X, Y, sigma=static_kernel.sigma, naive=naive)
+    if type(static_kernel) is _kernels.RBFKernel:
+        if dyadic_order == 0:
+            return pallas_fused.solve_final_rbf(
+                X, Y, sigma=static_kernel.sigma, naive=naive)
+        return pallas_fused.solve_final_rbf_dyadic(
+            X, Y, sigma=static_kernel.sigma, dyadic_order=dyadic_order,
+            naive=naive)
     raise ValueError(
-        "solver='fused' supports LinearKernel (any dyadic_order) and "
-        f"RBFKernel at dyadic_order=0; got {type(static_kernel).__name__} "
-        f"with dyadic_order={dyadic_order}")
+        "solver='fused' supports LinearKernel and RBFKernel (any "
+        f"dyadic_order); got {type(static_kernel).__name__}")
 
 
 _DF_KERNELS = (_kernels.LinearKernel, _kernels.RBFKernel)

@@ -102,8 +102,7 @@ def test_solver_fused_api_route(rng):
 def test_solver_fused_rejects_unsupported(rng):
     X = jnp.asarray(make_paths(rng, 2, 5, 2), jnp.float32)
     with pytest.raises(ValueError, match="fused"):
-        sk.sig_kernel(sk.RBFKernel(0.5), X, X, solver="fused",
-                      dyadic_order=1)
+        sk.sig_kernel(sk.RBF_ID_Kernel(0.5), X, X, solver="fused")
 
 
 def test_fused_rbf_sigma_is_traceable(rng):
@@ -122,3 +121,27 @@ def test_fused_rbf_sigma_is_traceable(rng):
         want = float(np.asarray(sk.sig_kernel(
             sk.RBFKernel(s), X, Y, solver="scan", max_batch=None)).sum())
         np.testing.assert_allclose(float(f(jnp.float32(s))), want, rtol=2e-5)
+
+
+@pytest.mark.parametrize("dyadic_order", [1, 2])
+@pytest.mark.parametrize("lx,ly", [(6, 6), (5, 9), (9, 5)])
+def test_fused_rbf_dyadic_matches_general(rng, dyadic_order, lx, ly):
+    """Stretched-register RBF fusion at dyadic order >= 1."""
+    X = jnp.asarray(make_paths(rng, 3, lx, 2), jnp.float32)
+    Y = jnp.asarray(make_paths(rng, 3, ly, 2), jnp.float32)
+    want = np.asarray(sk.sig_kernel(sk.RBFKernel(0.8), X, Y,
+                                    dyadic_order=dyadic_order,
+                                    solver="scan", max_batch=None))
+    got = np.asarray(sk.sig_kernel(sk.RBFKernel(0.8), X, Y,
+                                   dyadic_order=dyadic_order,
+                                   solver="fused", max_batch=None))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_fused_rbf_dyadic_f1_matches_dyadic0_kernel(rng):
+    """The general-f kernel at f=1 agrees with the rolled-diagonal one."""
+    X = jnp.asarray(make_paths(rng, 2, 7, 3), jnp.float32)
+    Y = jnp.asarray(make_paths(rng, 2, 8, 3), jnp.float32)
+    a = np.asarray(pallas_fused.solve_final_rbf_dyadic(X, Y, 0.7, 0))
+    b = np.asarray(pallas_fused.solve_final_rbf(X, Y, 0.7))
+    np.testing.assert_allclose(a, b, rtol=2e-5)
