@@ -28,6 +28,7 @@ from .sigkernel import (  # noqa: F401
     sig_kernel,
     sig_gram,
     sig_kernel_and_derivatives_gram,
+    k_kgrad,
     sig_distance,
     sig_scoring_rule,
     sig_expected_scoring_rule,

@@ -86,3 +86,26 @@ def sig_mmd_naive(X, Y, static_kernel, dyadic_order=0, _naive_solver=False):
     xx = (K_XX.sum() - np.trace(K_XX)) / (m * (m - 1.0))
     yy = (K_YY.sum() - np.trace(K_YY)) / (n * (n - 1.0))
     return xx + yy - 2.0 * K_XY.mean()
+
+
+# ---------------------------------------------------------------------------
+# Reference-name shims (drop-in parity for porting users)
+# ---------------------------------------------------------------------------
+
+SigKernel_naive = sig_kernel_naive          # reference sigkernel.py:700
+SigKernelGramMat_naive = sig_gram_naive     # reference sigkernel.py:753
+
+
+class SigMMD_naive:
+    """Class-form parity shim (reference sigkernel.py:790)."""
+
+    def __init__(self, static_kernel, dyadic_order=0, _naive_solver=False):
+        self.static_kernel = static_kernel
+        self.dyadic_order = dyadic_order
+        self._naive_solver = _naive_solver
+
+    def __call__(self, X, Y):
+        return sig_mmd_naive(X, Y, self.static_kernel, self.dyadic_order,
+                             self._naive_solver)
+
+    forward = __call__

@@ -290,6 +290,15 @@ def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
     return scan_solver.solve_derivatives_final(inc, inc_d, inc_dd)
 
 
+def k_kgrad(X, Y, gamma, dyadic_order, static_kernel, eps=1e-4):
+    """Reference-signature shim for :func:`sig_kernel_and_derivatives_gram`
+    (reference sigkernel.py:504, argument order and the reference's
+    finite-difference default preserved; pass ``eps=None`` for the exact
+    analytic-jvp mode)."""
+    return sig_kernel_and_derivatives_gram(
+        static_kernel, X, Y, gamma, dyadic_order=dyadic_order, eps=eps)
+
+
 # ---------------------------------------------------------------------------
 # Distances / scoring rules / MMD (reference sigkernel.py:130-197)
 # ---------------------------------------------------------------------------

@@ -84,3 +84,15 @@ def pad_batch(X, multiple: int):
         X = jnp.concatenate(
             [X, jnp.zeros((rem,) + X.shape[1:], X.dtype)], axis=0)
     return X, n
+
+
+def flip(x, dim):
+    """Reverse along an axis (reference sigkernel.py:599-606, whose MPS
+    branch crashes on a bad device getattr; here a plain jnp.flip)."""
+    return jnp.flip(x, axis=dim)
+
+
+def tile(a, dim, n_tile):
+    """Interleaved repeat along an axis (reference sigkernel.py:607-613):
+    each element appears ``n_tile`` times consecutively."""
+    return jnp.repeat(a, n_tile, axis=dim)

@@ -106,3 +106,37 @@ def test_sig_loss_naive_matches_distance():
                                  dyadic_order=1))
     got = float(naive.SigLoss_naive(kernel, dyadic_order=1)(X, Y))
     np.testing.assert_allclose(got, want, rtol=1e-9)
+
+
+def test_reference_name_shims():
+    """Every public reference symbol resolves to a working counterpart."""
+    import jax.numpy as jnp
+    from conftest import make_paths
+    import sigkernel_tpu as sk
+    from sigkernel_tpu import naive, utils
+
+    rng = np.random.default_rng(3)
+    X = make_paths(rng, 2, 7, 2)
+    Y = make_paths(rng, 2, 7, 2)
+    kernel = sk.RBFKernel(1.0)
+
+    # naive family, reference argument order
+    k1 = naive.SigKernel_naive(X, Y, kernel, 1)
+    np.testing.assert_allclose(k1, naive.sig_kernel_naive(X, Y, kernel, 1))
+    G = naive.SigKernelGramMat_naive(X, Y, kernel)
+    assert G.shape == (2, 2)
+    m = naive.SigMMD_naive(kernel, dyadic_order=1)(X, Y)
+    np.testing.assert_allclose(float(m),
+                               float(naive.sig_mmd_naive(X, Y, kernel, 1)))
+
+    # k_kgrad, reference argument order + FD default
+    K, Kd, Kdd = sk.k_kgrad(jnp.asarray(X), jnp.asarray(Y),
+                            jnp.asarray(0.1 * X), 1, kernel)
+    assert K.shape == (2, 2)
+
+    # grid utils
+    a = jnp.arange(6.0).reshape(2, 3)
+    np.testing.assert_array_equal(np.asarray(utils.flip(a, 1)),
+                                  np.asarray(a)[:, ::-1])
+    t = utils.tile(a, 1, 2)
+    np.testing.assert_array_equal(np.asarray(t)[0], [0, 0, 1, 1, 2, 2])
