@@ -206,6 +206,202 @@ def _stripe_bottom_row(inc_s: jnp.ndarray, bd: jnp.ndarray,
     return out[:B]
 
 
+def _stripe_kernel_grid(inc_hbm, bd_hbm, bd01_ref, out_ref, state, ibuf,
+                        bbuf, isem, *, n_steps, MM, naive):
+    """Stripe sweep with boundary stream, streaming ALL diagonals to HBM
+    (the striped adjoint's grid recompute). out_ref: (Tp, P, L)."""
+    T = DMA_BATCH
+    P, L = state.shape[1], state.shape[2]
+    n_batches = pl.cdiv(n_steps, T)
+    ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    one = jnp.float32(1.0)
+
+    init0 = jnp.ones((P, L), jnp.float32)
+    state[0] = jnp.where(ii == 0, bd01_ref[0], init0)
+    state[1] = jnp.where(ii == 0, bd01_ref[1], init0)
+
+    def in_copies(b, slot):
+        return (pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
+                                      ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
+                pltpu.make_async_copy(bd_hbm.at[pl.ds(_ix(b * T), T)],
+                                      bbuf.at[_ix(slot)],
+                                      isem.at[_ix(2 + slot)]))
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        for t in range(T):
+            q = b * T + t
+            vm2_s, vm1_s = t % 2, 1 - (t % 2)
+
+            @pl.when(q < n_steps)
+            def _():
+                u = ibuf[bslot, t]
+                vm1 = state[vm1_s]
+                k10 = vm1
+                k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+                k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
+                v = _scheme(k00, k01, k10, u, naive)
+                v = jnp.where(ii == 0, bbuf[bslot, t], v)
+                v = jnp.where((ii == q + 2) | (ii > MM), one, v)
+
+                @pl.when(q >= 2)
+                def _():
+                    pltpu.make_async_copy(state.at[_ix(vm2_s)],
+                                          out_ref.at[_ix(q - 2)],
+                                          isem.at[_ix(4 + t % 2)]).wait()
+                state[vm2_s] = v
+                pltpu.make_async_copy(state.at[_ix(vm2_s)],
+                                      out_ref.at[_ix(q)],
+                                      isem.at[_ix(4 + t % 2)]).start()
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    last = (n_steps - 1) % 2
+    pltpu.make_async_copy(state.at[_ix(last)],
+                          out_ref.at[_ix(n_steps - 1)],
+                          isem.at[_ix(4 + last)]).wait()
+    @pl.when(n_steps >= 2)
+    def _():
+        pltpu.make_async_copy(state.at[_ix(1 - last)],
+                              out_ref.at[_ix(n_steps - 2)],
+                              isem.at[_ix(4 + (1 - last))]).wait()
+
+
+def _stripe_io(inc_s, bd):
+    """Shared stripe input prep: sheared increments + boundary streams."""
+    B, MM, NN = inc_s.shape
+    n_steps = MM + NN - 1
+    P = ceil_to(B, SUBLANES)
+    L = ceil_to(MM + 1, LANES)
+    Tp = ceil_to(n_steps, max(LANES, DMA_BATCH))
+
+    S = scan_solver.shear_rows(inc_s, out_width=Tp)
+    S = jnp.pad(S, ((0, P - B), (1, L - (MM + 1)), (0, 0)))
+    sk = jnp.transpose(S, (2, 0, 1))
+
+    bdp = jnp.pad(bd, ((0, P - B), (0, 0)), constant_values=1.0)
+    stream = jnp.pad(bdp[:, 2:], ((0, 0), (0, Tp - (bdp.shape[1] - 2))),
+                     constant_values=1.0)
+    bd_in = jnp.transpose(stream, (1, 0))[:, :, None]
+    bd01 = jnp.transpose(bdp[:, :2], (1, 0))[:, :, None]
+    return sk, bd_in, bd01, (B, MM, NN, n_steps, P, L, Tp)
+
+
+def _stripe_grid(inc_s: jnp.ndarray, bd: jnp.ndarray,
+                 naive: bool) -> jnp.ndarray:
+    """Full solution grid of one stripe given its north boundary row.
+
+    ``inc_s``: (B, MM_s, NN); ``bd``: (B, NN + 1). Returns
+    (B, MM_s + 1, NN + 1) with row 0 = ``bd`` and column 0 = 1.
+    """
+    from .pallas_solver import _stack_to_grid
+
+    sk, bd_in, bd01, (B, MM, NN, n_steps, P, L, Tp) = _stripe_io(inc_s, bd)
+    kernel = functools.partial(_stripe_kernel_grid, n_steps=n_steps, MM=MM,
+                               naive=naive)
+    stack = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((Tp, P, L), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((6,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(sk, bd_in, bd01)
+    grid = _stack_to_grid(stack, 1, MM, NN, B)
+    return grid.at[:, 0, :].set(bd[:, : NN + 1])
+
+
+# stripe height of the striped adjoint: smaller than the forward's to keep
+# the per-stripe diagonal stacks (~(Rb + NN) * Rb floats) HBM-reasonable
+ADJ_ROWS = 2048
+
+
+def adjoint_blocked(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
+                    dyadic_order: int = 0) -> jnp.ndarray:
+    """Increment cotangent for grids beyond the VMEM bound on both sides.
+
+    Checkpoints the stripe-boundary rows of the forward and reversed
+    sweeps, then recomputes one stripe-grid pair at a time and forms the
+    classic variation-of-parameters product per stripe
+    (``cot_s = K_s[:, :-1, :-1] * flip2(Krev_t[:, 1:, 1:]) * g`` with
+    ``t = S - 1 - s``). Rows are zero-padded to stripe alignment first --
+    zero increments copy rows exactly, and the reversed solve of the padded
+    problem shifts identically, so the sliced cotangent is exact.
+
+    Returns the cotangent COLLAPSED to base resolution (B, M-1, N-1) f32
+    (per-stripe collapse keeps the refined grid from ever materialising).
+    """
+    from .solve import _collapse_refined  # local import: no cycle at load
+
+    inc32 = inc3.astype(jnp.float32)
+    f = 2 ** dyadic_order
+    B0, Mb, Nb = inc32.shape
+    NN = Nb * f
+
+    Rb = min(ADJ_ROWS, (MAX_ROWS - 1)) // f * f
+    Mb_pad = -(-Mb * f // Rb) * Rb // f     # base rows, stripe-aligned
+    inc32 = jnp.pad(inc32, ((0, 0), (0, Mb_pad - Mb), (0, 0)))
+    MM = Mb_pad * f
+    S = MM // Rb
+
+    inc_rev = jnp.flip(jnp.flip(inc32, -1), -2)
+    chunk = max(_pair_chunk_blocked(Rb, NN) // 4, SUBLANES)
+
+    def boundaries(inc_c):
+        """North-boundary row of every stripe (S entries, [0] = ones)."""
+        B = inc_c.shape[0]
+        bds = [jnp.ones((B, NN + 1), jnp.float32)]
+        for s in range(S - 1):
+            stripe = dyadic_refine(
+                inc_c[:, s * Rb // f:(s + 1) * Rb // f, :], dyadic_order)
+            bds.append(_stripe_bottom_row(stripe, bds[-1], naive))
+        return bds
+
+    def one(args):
+        inc_c, rev_c, g_c = args
+        bd_f = boundaries(inc_c)
+        bd_r = boundaries(rev_c)
+        gb = g_c.astype(jnp.float32)[:, None, None]
+        cot_rows = []
+        for s in range(S):
+            t = S - 1 - s
+            stripe_f = dyadic_refine(
+                inc_c[:, s * Rb // f:(s + 1) * Rb // f, :], dyadic_order)
+            stripe_r = dyadic_refine(
+                rev_c[:, t * Rb // f:(t + 1) * Rb // f, :], dyadic_order)
+            K_s = _stripe_grid(stripe_f, bd_f[s], naive)
+            R_t = _stripe_grid(stripe_r, bd_r[t], naive)
+            R_t = jnp.flip(jnp.flip(R_t, -1), -2)  # flip BEFORE slicing
+            cot = K_s[:, :-1, :-1] * R_t[:, 1:, 1:] * gb
+            cot_rows.append(_collapse_refined(cot, dyadic_order,
+                                              jnp.float32))
+        return jnp.concatenate(cot_rows, axis=1)
+
+    out = _chunk_map(one, (inc32, inc_rev, g.astype(jnp.float32)), chunk)
+    return out[:, :Mb, :]
+
+
 # ---------------------------------------------------------------------------
 # Double-double stripes: the same decomposition with (hi, lo) planes
 # ---------------------------------------------------------------------------

@@ -184,6 +184,12 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
         KK = pallas_adjoint.adjoint_fused(inc, g, naive=naive,
                                           dyadic_order=dyadic_order)
         return (_collapse_refined(KK, dyadic_order, inc.dtype),)
+    if s == "pallas_blocked":
+        # striped adjoint: stripe-grid recompute pairs; returns the
+        # cotangent already collapsed to base resolution (f32 backward)
+        ct = pallas_blocked.adjoint_blocked(inc, g, naive=naive,
+                                            dyadic_order=dyadic_order)
+        return (ct.astype(inc.dtype),)
     # full-precision route: scan tier, or grad_solver="df64" on the
     # double-double tier (both grid sweeps + product run f64-grade)
     return _grid_route_bwd(inc, g, naive, solver, dyadic_order)
@@ -243,10 +249,16 @@ def _solve_df_bwd(naive, dyadic_order, dd_df, g):
     from . import pallas_adjoint
 
     hi, lo = dd_df
+    f = 2 ** dyadic_order
+    probe = jax.ShapeDtypeStruct(
+        hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
     if _df_supported(hi, dyadic_order):
         KK = pallas_adjoint.adjoint_fused(hi, g, naive=naive,
                                           dyadic_order=dyadic_order)
         ct = _collapse_refined(KK, dyadic_order, jnp.float32)
+    elif pallas_blocked.supported(probe):
+        ct = pallas_blocked.adjoint_blocked(hi, g, naive=naive,
+                                            dyadic_order=dyadic_order)
     else:
         inc = hi.astype(jnp.float64) + lo.astype(jnp.float64)
         (ct64,) = _grid_route_bwd(inc, g, naive, "scan", dyadic_order)

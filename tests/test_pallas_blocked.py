@@ -102,3 +102,44 @@ def test_blocked_df64_boundary_chain(rng, small_rows):
     want = np.asarray(scan_solver.solve_final(inc))
     got = np.asarray(pallas_blocked.solve_final_f64(inc))
     np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def _oracle_cot_base(inc, g, naive, dyadic_order):
+    """Exact base-resolution cotangent via f64 grid solves + collapse."""
+    from sigkernel_tpu.utils import dyadic_refine
+    from sigkernel_tpu.ops.solve import _collapse_refined
+
+    incr = dyadic_refine(jnp.asarray(inc, jnp.float64), dyadic_order)
+    grid = scan_solver.solve_grid(incr, naive=naive)
+    grid_r = scan_solver.solve_grid(jnp.flip(jnp.flip(incr, -1), -2),
+                                    naive=naive)
+    grid_r = jnp.flip(jnp.flip(grid_r, -1), -2)
+    KK = grid[..., :-1, :-1] * grid_r[..., 1:, 1:]
+    KK = jnp.asarray(g)[:, None, None] * KK
+    return np.asarray(_collapse_refined(KK, dyadic_order, jnp.float64))
+
+
+@pytest.mark.parametrize("dyadic_order", [0, 1])
+@pytest.mark.parametrize("shape", [(2, 40, 37), (1, 33, 50)])
+def test_striped_adjoint_matches_oracle(rng, small_rows, monkeypatch,
+                                        dyadic_order, shape):
+    monkeypatch.setattr(pallas_blocked, "ADJ_ROWS", 16)
+    inc = jnp.asarray(rng.normal(size=shape) * 0.05, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(shape[0],)), jnp.float32)
+    want = _oracle_cot_base(inc, g, False, dyadic_order)
+    got = np.asarray(pallas_blocked.adjoint_blocked(inc, g, False,
+                                                    dyadic_order))
+    # f32 forward grids: absolute error scales with the grid magnitude
+    np.testing.assert_allclose(got, want, rtol=3e-4,
+                               atol=3e-5 * np.abs(want).max())
+
+
+def test_striped_adjoint_unaligned_rows(rng, small_rows, monkeypatch):
+    """Row counts not divisible by the stripe height (exact zero-padding)."""
+    monkeypatch.setattr(pallas_blocked, "ADJ_ROWS", 16)
+    inc = jnp.asarray(rng.normal(size=(2, 23, 29)) * 0.05, jnp.float32)
+    g = jnp.ones((2,), jnp.float32)
+    want = _oracle_cot_base(inc, g, False, 1)
+    got = np.asarray(pallas_blocked.adjoint_blocked(inc, g, False, 1))
+    np.testing.assert_allclose(got, want, rtol=3e-4,
+                               atol=3e-5 * np.abs(want).max())
