@@ -94,12 +94,24 @@ check("df_prep RBF increments", got, want, 1e-9, atol=5e-13)
 # ---------------------------------------------------------------------------
 # 2. fused kernels (values) + traced sigma
 # ---------------------------------------------------------------------------
+# compare against the f64 scan truth: the f32 scan path loses ~3 digits to
+# double-difference cancellation, while the fused kernels build increments
+# directly from path increments (measured on-chip: fused 2.7e-6 / f32-scan
+# 9.9e-3 vs f64 for linear; 2.3e-5 / 3.8e-2 for RBF dyadic 2)
 Xl = jnp.asarray(rng.normal(size=(8, 60, 3)).cumsum(1) / 8, jnp.float32)
-w = sk.sig_kernel(sk.LinearKernel(), Xl, Xl, solver="scan", max_batch=None)
-check("fused linear", pallas_fused.solve_final_linear(Xl, Xl), w, 5e-5)
-w = sk.sig_kernel(sk.RBFKernel(0.5), Xl, Xl, solver="scan", max_batch=None)
-check("fused rbf (traced sigma)",
+X64v = Xl.astype(jnp.float64)
+w = sk.sig_kernel(sk.LinearKernel(), X64v, X64v, solver="scan",
+                  max_batch=None)
+check("fused linear vs f64", pallas_fused.solve_final_linear(Xl, Xl), w, 5e-5)
+w = sk.sig_kernel(sk.RBFKernel(0.5), X64v, X64v, solver="scan",
+                  max_batch=None)
+check("fused rbf (traced sigma) vs f64",
       pallas_fused.solve_final_rbf(Xl, Xl, jnp.float32(0.5)), w, 2e-4)
+w = sk.sig_kernel(sk.RBFKernel(0.5), X64v, X64v, solver="scan",
+                  dyadic_order=2, max_batch=None)
+check("fused rbf dyadic 2 vs f64",
+      pallas_fused.solve_final_rbf_dyadic(Xl, Xl, jnp.float32(0.5),
+                                          dyadic_order=2), w, 2e-4)
 
 # ---------------------------------------------------------------------------
 # 3. Pallas derivatives tier vs scan

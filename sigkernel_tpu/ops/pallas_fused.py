@@ -29,19 +29,26 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import SUBLANES, LANES, _ix, _scheme, _chunk_map
+from .pallas_solver import SUBLANES, LANES, _scheme, _chunk_map
 from ..utils import ceil_to
 
 
-def _fused_kernel(dx_ref, dy_ref, out_ref, state, sreg,
+def _fused_kernel(dx_ref, dy_ref, out_ref, state, sreg, fut,
                   *, n_steps, MM, NN, D, naive):
     """dx_ref: (D, P, L) with DX[d, b, i] = dxr[b, i-1, d] (zero pad at i=0).
     dy_ref: (D, P, Ly) with DY[d, b, j] = dyr[b, j, d] (zero padded).
     out_ref: (P, L) final diagonal slab. state: (2, P, L) ping-pong.
     sreg: (D, P, L) rolling shift register of reversed dy increments.
+    fut: (D, P, Ly) "future" register: head (column 0) holds the next value
+    to insert; advanced by a LEFT roll + tail zeroing each step. Mosaic has
+    no dynamic-index vector loads, so the next head is never *addressed* --
+    it arrives at column 0 by rolling (zeros drain in past the end, which
+    reproduces the out-of-range-insert-zero semantics exactly).
     """
     P, L = state.shape[1], state.shape[2]
+    Ly = fut.shape[2]
     ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    jy = lax.broadcasted_iota(jnp.int32, (P, Ly), 1)
     one = jnp.float32(1.0)
 
     state[0] = jnp.ones((P, L), jnp.float32)
@@ -50,20 +57,20 @@ def _fused_kernel(dx_ref, dy_ref, out_ref, state, sreg,
     for d in range(D):
         sreg[d] = jnp.zeros((P, L), jnp.float32)
         sreg[d, :, 0:1] = dy_ref[d, :, 0:1]
+        # fut[j] = dyr[j + 1]: left-shift dy by one (dy is zero-padded)
+        f0 = pltpu.roll(dy_ref[d], jnp.int32(Ly - 1), axis=1)
+        fut[d] = jnp.where(jy == Ly - 1, 0.0, f0)
 
     def body(q, _):
         # advance the shift register: S_q = roll(S_{q-1}) ; S_q[0] = dyr[q+1]
         u = jnp.zeros((P, L), jnp.float32)
         for d in range(D):
+            head = fut[d][:, 0:1]                     # dyr[q + 1] (or 0)
             s = pltpu.roll(sreg[d], jnp.int32(1), axis=1)
-            head = jnp.where(
-                q + 1 < NN,
-                jax.lax.dynamic_slice(
-                    dy_ref[d], (_ix(0), _ix(jnp.minimum(q + 1, NN - 1))),
-                    (P, 1)),
-                jnp.zeros((P, 1), jnp.float32))
-            s = jax.lax.dynamic_update_slice(s, head, (_ix(0), _ix(0)))
+            s = jnp.where(ii == 0, jnp.broadcast_to(head, (P, L)), s)
             sreg[d] = s
+            fn = pltpu.roll(fut[d], jnp.int32(Ly - 1), axis=1)
+            fut[d] = jnp.where(jy == Ly - 1, 0.0, fn)
             u = u + dx_ref[d] * s
 
         vm2_s = lax.rem(q, jnp.int32(2))
@@ -118,6 +125,7 @@ def _solve_one(dxdy, MM, NN, D, naive):
         scratch_shapes=[
             pltpu.VMEM((2, P, L), jnp.float32),
             pltpu.VMEM((D, P, L), jnp.float32),
+            pltpu.VMEM((D, P, Ly), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -165,7 +173,7 @@ def gram_linear_f32(X: jnp.ndarray, Y: jnp.ndarray, scale=1.0,
 
 def _fused_rbf_kernel(px_ref, ypts_ref, sxa_ref, syrow_ref, ry0_ref,
                       sys0_ref, g0_ref, out_ref, state, ry, sys, gd,
-                      *, n_steps, MM, N, D, inv_sigma, naive):
+                      fy, fs, *, n_steps, MM, N, D, inv_sigma, naive):
     """Increments generated in-kernel for the RBF static kernel.
 
     ``G[a, b] = exp((2<x_a, y_b> - |x_a|^2 - |y_b|^2) / sigma)`` on the base
@@ -179,44 +187,49 @@ def _fused_rbf_kernel(px_ref, ypts_ref, sxa_ref, syrow_ref, ry0_ref,
     syrow_ref: (P, Ly) |y_b|^2. ry0/sys0: initial registers (state for
     diagonal p=1). g0_ref: (2, P, L) initial G diagonals p=0,1.
     Scratch: state (2,P,L) solution ping-pong; ry (D,P,L) point register;
-    sys (P,L) |y|^2 register; gd (3,P,L) rolling G diagonals.
+    sys (P,L) |y|^2 register; gd (3,P,L) rolling G diagonals; fy (D,P,Ly) /
+    fs (P,Ly) future registers delivering y[q+2] / |y[q+2]|^2 at column 0
+    by left rolls (no dynamic-index loads on Mosaic).
     """
     P, L = state.shape[1], state.shape[2]
+    Ly = fy.shape[2]
     ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    jy = lax.broadcasted_iota(jnp.int32, (P, Ly), 1)
     one = jnp.float32(1.0)
 
     state[0] = jnp.ones((P, L), jnp.float32)
     state[1] = jnp.ones((P, L), jnp.float32)
     for d in range(D):
         ry[d] = ry0_ref[d]
+        # fy[j] = y[j + 2] (zeros drain in past the end, matching the
+        # out-of-range-insert-zero semantics of the original formulation)
+        f0 = pltpu.roll(ypts_ref[d], jnp.int32(Ly - 2), axis=1)
+        fy[d] = jnp.where(jy >= Ly - 2, 0.0, f0)
     sys[...] = sys0_ref[...]
+    s0 = pltpu.roll(syrow_ref[...], jnp.int32(Ly - 2), axis=1)
+    fs[...] = jnp.where(jy >= Ly - 2, 0.0, s0)
     gd[0] = g0_ref[0]   # G diagonal p = q   (starts at p=0)
     gd[1] = g0_ref[1]   # G diagonal p = q+1 (starts at p=1)
+
+    def advance(reg):
+        nxt = pltpu.roll(reg, jnp.int32(Ly - 1), axis=1)
+        return jnp.where(jy == Ly - 1, 0.0, nxt)
 
     def body(q, _):
         # advance the point registers to hold y[q+2-a] at position a
         ip = jnp.zeros((P, L), jnp.float32)
-        in_range = q + 2 < N
         for d in range(D):
+            head = fy[d][:, 0:1]                       # y[q + 2] (or 0)
             r = pltpu.roll(ry[d], jnp.int32(1), axis=1)
-            head = jnp.where(
-                in_range,
-                jax.lax.dynamic_slice(
-                    ypts_ref[d], (_ix(0), _ix(jnp.minimum(q + 2, N - 1))),
-                    (P, 1)),
-                jnp.zeros((P, 1), jnp.float32))
-            r = jax.lax.dynamic_update_slice(r, head, (_ix(0), _ix(0)))
+            r = jnp.where(ii == 0, jnp.broadcast_to(head, (P, L)), r)
             ry[d] = r
+            fy[d] = advance(fy[d])
             ip = ip + px_ref[d] * r
+        shead = fs[:, 0:1]
         s = pltpu.roll(sys[...], jnp.int32(1), axis=1)
-        shead = jnp.where(
-            in_range,
-            jax.lax.dynamic_slice(
-                syrow_ref[...], (_ix(0), _ix(jnp.minimum(q + 2, N - 1))),
-                (P, 1)),
-            jnp.zeros((P, 1), jnp.float32))
-        s = jax.lax.dynamic_update_slice(s, shead, (_ix(0), _ix(0)))
+        s = jnp.where(ii == 0, jnp.broadcast_to(shead, (P, L)), s)
         sys[...] = s
+        fs[...] = advance(fs[...])
 
         # new G diagonal p = q+2 and the double difference
         g_new = jnp.exp((2.0 * ip - sxa_ref[...] - s)
@@ -295,6 +308,8 @@ def _rbf_one(xy, M, N, D, inv_sigma, naive):
             pltpu.VMEM((D, P, L), jnp.float32),
             pltpu.VMEM((P, L), jnp.float32),
             pltpu.VMEM((3, P, L), jnp.float32),
+            pltpu.VMEM((D, P, Ly), jnp.float32),
+            pltpu.VMEM((P, Ly), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -316,12 +331,21 @@ def _rbf_one(xy, M, N, D, inv_sigma, naive):
 
 def _fused_rbf_dyadic_kernel(px_ref, px1_ref, sxa_ref, sxa1_ref, ypts_ref,
                              ynrm_ref, out_ref, state, ry, ry1, sy, sy1,
+                             fy, fy1, fs, fs1,
                              *, n_steps, MM, N, D, f, inv_f2, naive):
     """px/px1: (D, P, L) stretched x points; sxa/sxa1: (P, L) their square
     norms. ypts: (D, P, Ly); ynrm: (P, Ly). Registers ry/ry1 (D, P, L) and
-    sy/sy1 (P, L) hold y[(q+1-i)//f] / y[.. + 1] and their norms."""
+    sy/sy1 (P, L) hold y[(q+1-i)//f] / y[.. + 1] and their norms. The
+    heads y[(q+1)//f] / y[(q+1)//f + 1] are delivered at column 0 of the
+    future registers fy/fy1 (D, P, Ly) and fs/fs1 (P, Ly), which left-roll
+    once every ``f`` steps (Mosaic has no dynamic-index vector loads).
+    Out-of-range heads drain in as zeros where the original clamped to
+    y[N-1]; both are consumed only by off-grid cells (never read back by
+    any valid cell), so the valid region is bit-identical."""
     P, L = state.shape[1], state.shape[2]
+    Ly = fy.shape[2]
     ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    jy = lax.broadcasted_iota(jnp.int32, (P, Ly), 1)
     one = jnp.float32(1.0)
 
     state[0] = jnp.ones((P, L), jnp.float32)
@@ -333,42 +357,55 @@ def _fused_rbf_dyadic_kernel(px_ref, px1_ref, sxa_ref, sxa1_ref, ypts_ref,
         ry1[d] = jnp.zeros((P, L), jnp.float32)
         ry1[d, :, 0:1] = ypts_ref[d, :, 1:2] if N > 1 \
             else jnp.zeros((P, 1), jnp.float32)
+        # future heads: fy[j] = y[j] (head y[0]), fy1[j] = y[j + 1]
+        fy[d] = ypts_ref[d]
+        f1 = pltpu.roll(ypts_ref[d], jnp.int32(Ly - 1), axis=1)
+        fy1[d] = jnp.where(jy == Ly - 1, 0.0, f1)
     sy[...] = jnp.zeros((P, L), jnp.float32)
     sy[:, 0:1] = ynrm_ref[:, 0:1]
     sy1[...] = jnp.zeros((P, L), jnp.float32)
     sy1[:, 0:1] = ynrm_ref[:, 1:2] if N > 1 \
         else jnp.zeros((P, 1), jnp.float32)
-
-    def head(ref, idx):
-        return jax.lax.dynamic_slice(
-            ref, (_ix(0), _ix(jnp.minimum(idx, N - 1))), (P, 1))
+    fs[...] = ynrm_ref[...]
+    s1i = pltpu.roll(ynrm_ref[...], jnp.int32(Ly - 1), axis=1)
+    fs1[...] = jnp.where(jy == Ly - 1, 0.0, s1i)
 
     def body(q, _):
-        c_head = (q + 1) // f   # jax traced int32 floordiv
+        # the head column index (q + 1) // f increments exactly when
+        # (q + 1) % f == 0: advance the future registers then, before use
+        adv = lax.rem(q + 1, jnp.int32(f)) == 0
+
+        def step(reg):
+            nxt = pltpu.roll(reg, jnp.int32(Ly - 1), axis=1)
+            nxt = jnp.where(jy == Ly - 1, 0.0, nxt)
+            return jnp.where(adv, nxt, reg)
+
         ip = jnp.zeros((P, L), jnp.float32)    # PX . R
         ip1 = jnp.zeros((P, L), jnp.float32)   # PX1 . R
         jp = jnp.zeros((P, L), jnp.float32)    # PX . R'
         jp1 = jnp.zeros((P, L), jnp.float32)   # PX1 . R'
         for d in range(D):
+            fy[d] = step(fy[d])
+            fy1[d] = step(fy1[d])
             r = pltpu.roll(ry[d], jnp.int32(1), axis=1)
-            r = jax.lax.dynamic_update_slice(
-                r, head(ypts_ref[d], c_head), (_ix(0), _ix(0)))
+            r = jnp.where(ii == 0,
+                          jnp.broadcast_to(fy[d][:, 0:1], (P, L)), r)
             ry[d] = r
             r1 = pltpu.roll(ry1[d], jnp.int32(1), axis=1)
-            r1 = jax.lax.dynamic_update_slice(
-                r1, head(ypts_ref[d], c_head + 1), (_ix(0), _ix(0)))
+            r1 = jnp.where(ii == 0,
+                           jnp.broadcast_to(fy1[d][:, 0:1], (P, L)), r1)
             ry1[d] = r1
             ip = ip + px_ref[d] * r
             ip1 = ip1 + px1_ref[d] * r
             jp = jp + px_ref[d] * r1
             jp1 = jp1 + px1_ref[d] * r1
+        fs[...] = step(fs[...])
+        fs1[...] = step(fs1[...])
         s = pltpu.roll(sy[...], jnp.int32(1), axis=1)
-        s = jax.lax.dynamic_update_slice(s, head(ynrm_ref[...], c_head),
-                                         (_ix(0), _ix(0)))
+        s = jnp.where(ii == 0, jnp.broadcast_to(fs[:, 0:1], (P, L)), s)
         sy[...] = s
         s1 = pltpu.roll(sy1[...], jnp.int32(1), axis=1)
-        s1 = jax.lax.dynamic_update_slice(s1, head(ynrm_ref[...], c_head + 1),
-                                          (_ix(0), _ix(0)))
+        s1 = jnp.where(ii == 0, jnp.broadcast_to(fs1[:, 0:1], (P, L)), s1)
         sy1[...] = s1
 
         g00 = jnp.exp(2.0 * ip - sxa_ref[...] - s)
@@ -430,6 +467,10 @@ def _rbf_dyadic_one(xy, M, N, D, f, naive):
             pltpu.VMEM((D, P, L), jnp.float32),
             pltpu.VMEM((P, L), jnp.float32),
             pltpu.VMEM((P, L), jnp.float32),
+            pltpu.VMEM((D, P, Ly), jnp.float32),
+            pltpu.VMEM((D, P, Ly), jnp.float32),
+            pltpu.VMEM((P, Ly), jnp.float32),
+            pltpu.VMEM((P, Ly), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
