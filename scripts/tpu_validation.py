@@ -116,16 +116,19 @@ check("fused rbf dyadic 2 vs f64",
 # ---------------------------------------------------------------------------
 # 3. Pallas derivatives tier vs scan
 # ---------------------------------------------------------------------------
+# compare against the f32 scan on the SAME increments: measured bit-exact
+# on-chip. (Comparing against the f64 scan instead measures the f32
+# double-difference cancellation in the increment prep, which both tiers
+# share -- ~1e-2 rel at this size, not a kernel property.)
 Xf = jnp.asarray(rng.normal(size=(3, 30, 2)).cumsum(1) / 5, jnp.float32)
 Yf = jnp.asarray(rng.normal(size=(4, 30, 2)).cumsum(1) / 5, jnp.float32)
 gam = 0.1 * Xf
 got3 = sk.sig_kernel_and_derivatives_gram(sk.RBFKernel(1.0), Xf, Yf, gam,
                                           dyadic_order=1, solver="pallas")
-want3 = sk.sig_kernel_and_derivatives_gram(
-    sk.RBFKernel(1.0), Xf.astype(jnp.float64), Yf.astype(jnp.float64),
-    gam.astype(jnp.float64), dyadic_order=1, solver="scan")
+want3 = sk.sig_kernel_and_derivatives_gram(sk.RBFKernel(1.0), Xf, Yf, gam,
+                                           dyadic_order=1, solver="scan")
 for name, g_, w_ in zip(("K", "Kdiff", "Kdiffdiff"), got3, want3):
-    check(f"pallas derivatives {name}", g_, w_, 5e-4)
+    check(f"pallas derivatives {name} (vs f32 scan)", g_, w_, 1e-6)
 
 # ---------------------------------------------------------------------------
 # 4. fused adjoint vs adjoint_dd vs scan gradient (values)

@@ -67,89 +67,81 @@ def supported(inc) -> bool:
     return MM > 0 and NN > 0 and min(MM, NN) + 1 > MAX_ROWS
 
 
-def _stripe_kernel(inc_hbm, bd_hbm, bd01_ref, row_ref, state, ibuf, bbuf,
-                   isem, *, n_steps, MM, naive):
+def _stripe_kernel(inc_hbm, bd01_ref, rows_ref, state, ibuf, oreg,
+                   isem, osem, *, MM, naive):
     """One stripe sweep, pairs-on-sublanes layout only (slab = (P, L)).
 
-    inc_hbm: (Tp, P, L) sheared increments. bd_hbm: (Tp, P, 1) north
-    boundary stream, ``bd_hbm[q] = bd[q + 2]``. bd01_ref: (2, P, 1) VMEM,
-    boundary values bd[0], bd[1] for the two initial diagonals.
-    row_ref: (Tp, P, 1) HBM out, ``row_ref[q] = K[MM, q + 2 - MM]``.
-    isem: 6 DMA semaphores (2 inc in, 2 bd in, 2 row out).
+    inc_hbm: (Tp, P, L) sheared increments with the north-boundary stream
+    packed into lane 0 (``inc_hbm[q, :, 0] = bd[q + 2]`` -- lane 0 is the
+    shear's pad row, so the boundary rides the increment DMA for free;
+    Mosaic cannot DMA 1-lane slices). bd01_ref: (2, P, 1) VMEM, boundary
+    values bd[0], bd[1] for the two initial diagonals.
+    rows_ref: (Tp // LANES, P, LANES) HBM out; lane ``l`` of batch ``c``
+    holds ``K[MM, q + 2 - MM]`` for ``q = LANES*c + LANES-1 - l`` (bottom
+    values are pushed into a right-rolling register at lane 0 and flushed
+    whole once per LANES steps -- single-lane DMAs violate Mosaic's lane
+    tiling; the XLA side flips lanes back).
+    All Tp steps run (q >= n_steps computes padding garbage that is never
+    read back), keeping the flush cadence exact with no tail logic.
     """
     T = DMA_BATCH
     P, L = state.shape[1], state.shape[2]
-    n_batches = pl.cdiv(n_steps, T)
+    Tp = inc_hbm.shape[0]
+    n_batches = Tp // T
     ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    jj = lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
     one = jnp.float32(1.0)
 
     init0 = jnp.ones((P, L), jnp.float32)
     state[0] = jnp.where(ii == 0, bd01_ref[0], init0)  # diag p=0: K[0,0]
     state[1] = jnp.where(ii == 0, bd01_ref[1], init0)  # diag p=1: K[0,1]
+    oreg[...] = jnp.zeros((P, LANES), jnp.float32)
 
-    def in_copies(b, slot):
-        return (pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
-                                      ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
-                pltpu.make_async_copy(bd_hbm.at[pl.ds(_ix(b * T), T)],
-                                      bbuf.at[_ix(slot)],
-                                      isem.at[_ix(2 + slot)]))
+    def in_copy(b, slot):
+        return pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
+                                     ibuf.at[_ix(slot)], isem.at[_ix(slot)])
 
-    for c in in_copies(0, 0):
-        c.start()
+    in_copy(0, 0).start()
 
     def body(b, _):
         bslot = lax.rem(b, jnp.int32(2))
 
         @pl.when(b + 1 < n_batches)
         def _():
-            for c in in_copies(b + 1, 1 - bslot):
-                c.start()
+            in_copy(b + 1, 1 - bslot).start()
 
-        for c in in_copies(b, bslot):
-            c.wait()
+        in_copy(b, bslot).wait()
 
         for t in range(T):  # static unroll: ping-pong slots compile-time
             q = b * T + t
             vm2_s, vm1_s = t % 2, 1 - (t % 2)
 
-            @pl.when(q < n_steps)
-            def _():
-                u = ibuf[bslot, t]
-                vm1 = state[vm1_s]
-                k10 = vm1
-                k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
-                k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
-                v = _scheme(k00, k01, k10, u, naive)
-                # row 0 carries the streamed north boundary; west boundary
-                # (ii == p) and pad rows stay 1
-                v = jnp.where(ii == 0, bbuf[bslot, t], v)
-                v = jnp.where((ii == q + 2) | (ii > MM), one, v)
+            u = ibuf[bslot, t]
+            vm1 = state[vm1_s]
+            k10 = vm1
+            k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+            k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
+            v = _scheme(k00, k01, k10, u, naive)
+            # row 0 carries the streamed north boundary (lane 0 of u);
+            # west boundary (ii == p) and pad rows stay 1
+            v = jnp.where(ii == 0, jnp.broadcast_to(u[:, 0:1], (P, L)), v)
+            v = jnp.where((ii == q + 2) | (ii > MM), one, v)
+            state[vm2_s] = v
 
-                # the row copy started at step q-2 read this state slot;
-                # it must land before the slot is overwritten
-                @pl.when(q >= 2)
-                def _():
-                    pltpu.make_async_copy(
-                        state.at[_ix(vm2_s), :, pl.ds(_ix(MM), 1)],
-                        row_ref.at[_ix(q - 2)],
-                        isem.at[_ix(4 + t % 2)]).wait()
-                state[vm2_s] = v
-                pltpu.make_async_copy(
-                    state.at[_ix(vm2_s), :, pl.ds(_ix(MM), 1)],
-                    row_ref.at[_ix(q)], isem.at[_ix(4 + t % 2)]).start()
+            # push K[MM, q + 2 - MM] into the bottom-row register
+            bot = v[:, MM:MM + 1]
+            oreg[...] = jnp.where(jj == 0, jnp.broadcast_to(bot, (P, LANES)),
+                                  pltpu.roll(oreg[...], jnp.int32(1), axis=1))
+
+            @pl.when(lax.rem(q + 1, jnp.int32(LANES)) == 0)
+            def _():
+                c = lax.div(_ix(q), jnp.int32(LANES))
+                cp = pltpu.make_async_copy(oreg, rows_ref.at[c], osem)
+                cp.start()
+                cp.wait()  # sync: ~LANES*P floats per LANES slab steps
         return 0
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
-
-    last = (n_steps - 1) % 2
-    pltpu.make_async_copy(state.at[_ix(last), :, pl.ds(_ix(MM), 1)],
-                          row_ref.at[_ix(n_steps - 1)],
-                          isem.at[_ix(4 + last)]).wait()
-    @pl.when(n_steps >= 2)
-    def _():
-        pltpu.make_async_copy(state.at[_ix(1 - last), :, pl.ds(_ix(MM), 1)],
-                              row_ref.at[_ix(n_steps - 2)],
-                              isem.at[_ix(4 + (1 - last))]).wait()
 
 
 def _stripe_bottom_row(inc_s: jnp.ndarray, bd: jnp.ndarray,
@@ -161,54 +153,46 @@ def _stripe_bottom_row(inc_s: jnp.ndarray, bd: jnp.ndarray,
     """
     B, MM, NN = inc_s.shape
     n_steps = MM + NN - 1
-    P = ceil_to(B, SUBLANES)
-    L = ceil_to(MM + 1, LANES)
-    Tp = ceil_to(n_steps, max(LANES, DMA_BATCH))
+    sk, bd01, (P, L, Tp) = _stripe_io(inc_s, bd)
 
-    # sheared increments, pairs-on-sublanes: (Tp, P, L)
-    S = scan_solver.shear_rows(inc_s, out_width=Tp)       # (B, MM, Tp)
-    S = jnp.pad(S, ((0, P - B), (1, L - (MM + 1)), (0, 0)))
-    sk = jnp.transpose(S, (2, 0, 1))                      # (Tp, P, L)
-
-    # boundary stream bd_in[q] = bd[q + 2] (tail padded with 1: consumed
-    # only by out-of-range columns)
-    bdp = jnp.pad(bd, ((0, P - B), (0, 0)), constant_values=1.0)
-    stream = bdp[:, 2:]
-    stream = jnp.pad(stream, ((0, 0), (0, Tp - stream.shape[1])),
-                     constant_values=1.0)
-    bd_in = jnp.transpose(stream, (1, 0))[:, :, None]     # (Tp, P, 1)
-    bd01 = jnp.transpose(bdp[:, :2], (1, 0))[:, :, None]  # (2, P, 1)
-
-    kernel = functools.partial(_stripe_kernel, n_steps=n_steps, MM=MM,
-                               naive=naive)
+    kernel = functools.partial(_stripe_kernel, MM=MM, naive=naive)
     rows = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Tp, P, 1), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp // LANES, P, LANES), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, P, L), jnp.float32),
             pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((P, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(sk, bd_in, bd01)
+    )(sk, bd01)
 
     # row[q] = K[MM, q + 2 - MM]  ->  bd_next[j] = row[MM - 2 + j], j >= 1
-    rowsT = jnp.transpose(rows[:, :, 0], (1, 0))          # (P, Tp)
+    rowsT = _unpack_rows(rows)                            # (P, Tp)
     vals = lax.dynamic_slice_in_dim(rowsT, MM - 1, NN, axis=1)
     out = jnp.concatenate(
         [jnp.ones((P, 1), jnp.float32), vals], axis=1)
     return out[:B]
 
 
-def _stripe_kernel_grid(inc_hbm, bd_hbm, bd01_ref, out_ref, state, ibuf,
-                        bbuf, isem, *, n_steps, MM, naive):
-    """Stripe sweep with boundary stream, streaming ALL diagonals to HBM
+def _unpack_rows(rows: jnp.ndarray) -> jnp.ndarray:
+    """(Tp // LANES, P, LANES) flushed bottom-row batches -> (P, Tp) by
+    step ``q`` (batch ``q // LANES``, lane ``LANES-1 - q % LANES``)."""
+    Cp, P, _ = rows.shape
+    r = jnp.flip(rows, axis=-1)
+    return jnp.transpose(r, (1, 0, 2)).reshape(P, Cp * LANES)
+
+
+def _stripe_kernel_grid(inc_hbm, bd01_ref, out_ref, state, ibuf,
+                        isem, *, n_steps, MM, naive):
+    """Stripe sweep with the boundary stream in lane 0 of the increment
+    slab (see :func:`_stripe_kernel`), streaming ALL diagonals to HBM
     (the striped adjoint's grid recompute). out_ref: (Tp, P, L)."""
     T = DMA_BATCH
     P, L = state.shape[1], state.shape[2]
@@ -220,26 +204,20 @@ def _stripe_kernel_grid(inc_hbm, bd_hbm, bd01_ref, out_ref, state, ibuf,
     state[0] = jnp.where(ii == 0, bd01_ref[0], init0)
     state[1] = jnp.where(ii == 0, bd01_ref[1], init0)
 
-    def in_copies(b, slot):
-        return (pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
-                                      ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
-                pltpu.make_async_copy(bd_hbm.at[pl.ds(_ix(b * T), T)],
-                                      bbuf.at[_ix(slot)],
-                                      isem.at[_ix(2 + slot)]))
+    def in_copy(b, slot):
+        return pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
+                                     ibuf.at[_ix(slot)], isem.at[_ix(slot)])
 
-    for c in in_copies(0, 0):
-        c.start()
+    in_copy(0, 0).start()
 
     def body(b, _):
         bslot = lax.rem(b, jnp.int32(2))
 
         @pl.when(b + 1 < n_batches)
         def _():
-            for c in in_copies(b + 1, 1 - bslot):
-                c.start()
+            in_copy(b + 1, 1 - bslot).start()
 
-        for c in in_copies(b, bslot):
-            c.wait()
+        in_copy(b, bslot).wait()
 
         for t in range(T):
             q = b * T + t
@@ -253,18 +231,19 @@ def _stripe_kernel_grid(inc_hbm, bd_hbm, bd01_ref, out_ref, state, ibuf,
                 k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
                 k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
                 v = _scheme(k00, k01, k10, u, naive)
-                v = jnp.where(ii == 0, bbuf[bslot, t], v)
+                v = jnp.where(ii == 0,
+                              jnp.broadcast_to(u[:, 0:1], (P, L)), v)
                 v = jnp.where((ii == q + 2) | (ii > MM), one, v)
 
                 @pl.when(q >= 2)
                 def _():
                     pltpu.make_async_copy(state.at[_ix(vm2_s)],
                                           out_ref.at[_ix(q - 2)],
-                                          isem.at[_ix(4 + t % 2)]).wait()
+                                          isem.at[_ix(2 + t % 2)]).wait()
                 state[vm2_s] = v
                 pltpu.make_async_copy(state.at[_ix(vm2_s)],
                                       out_ref.at[_ix(q)],
-                                      isem.at[_ix(4 + t % 2)]).start()
+                                      isem.at[_ix(2 + t % 2)]).start()
         return 0
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
@@ -272,16 +251,19 @@ def _stripe_kernel_grid(inc_hbm, bd_hbm, bd01_ref, out_ref, state, ibuf,
     last = (n_steps - 1) % 2
     pltpu.make_async_copy(state.at[_ix(last)],
                           out_ref.at[_ix(n_steps - 1)],
-                          isem.at[_ix(4 + last)]).wait()
+                          isem.at[_ix(2 + last)]).wait()
     @pl.when(n_steps >= 2)
     def _():
         pltpu.make_async_copy(state.at[_ix(1 - last)],
                               out_ref.at[_ix(n_steps - 2)],
-                              isem.at[_ix(4 + (1 - last))]).wait()
+                              isem.at[_ix(2 + (1 - last))]).wait()
 
 
-def _stripe_io(inc_s, bd):
-    """Shared stripe input prep: sheared increments + boundary streams."""
+def _stripe_io(inc_s, bd, fill=1.0):
+    """Shared stripe input prep: sheared increments with the north-boundary
+    stream packed into lane 0 (the shear's pad row), plus the (2, P, 1)
+    initial-diagonal boundary values. ``fill`` pads the boundary stream's
+    tail (1 for solution planes, 0 for double-double lo planes)."""
     B, MM, NN = inc_s.shape
     n_steps = MM + NN - 1
     P = ceil_to(B, SUBLANES)
@@ -290,14 +272,14 @@ def _stripe_io(inc_s, bd):
 
     S = scan_solver.shear_rows(inc_s, out_width=Tp)
     S = jnp.pad(S, ((0, P - B), (1, L - (MM + 1)), (0, 0)))
-    sk = jnp.transpose(S, (2, 0, 1))
+    sk = jnp.transpose(S, (2, 0, 1))                      # (Tp, P, L)
 
-    bdp = jnp.pad(bd, ((0, P - B), (0, 0)), constant_values=1.0)
+    bdp = jnp.pad(bd, ((0, P - B), (0, 0)), constant_values=fill)
     stream = jnp.pad(bdp[:, 2:], ((0, 0), (0, Tp - (bdp.shape[1] - 2))),
-                     constant_values=1.0)
-    bd_in = jnp.transpose(stream, (1, 0))[:, :, None]
-    bd01 = jnp.transpose(bdp[:, :2], (1, 0))[:, :, None]
-    return sk, bd_in, bd01, (B, MM, NN, n_steps, P, L, Tp)
+                     constant_values=fill)                # (P, Tp)
+    sk = sk.at[:, :, 0].set(jnp.transpose(stream, (1, 0)))
+    bd01 = jnp.transpose(bdp[:, :2], (1, 0))[:, :, None]  # (2, P, 1)
+    return sk, bd01, (P, L, Tp)
 
 
 def _stripe_grid(inc_s: jnp.ndarray, bd: jnp.ndarray,
@@ -309,25 +291,25 @@ def _stripe_grid(inc_s: jnp.ndarray, bd: jnp.ndarray,
     """
     from .pallas_solver import _stack_to_grid
 
-    sk, bd_in, bd01, (B, MM, NN, n_steps, P, L, Tp) = _stripe_io(inc_s, bd)
+    B, MM, NN = inc_s.shape
+    n_steps = MM + NN - 1
+    sk, bd01, (P, L, Tp) = _stripe_io(inc_s, bd)
     kernel = functools.partial(_stripe_kernel_grid, n_steps=n_steps, MM=MM,
                                naive=naive)
     stack = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Tp, P, L), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
-                  pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((2, P, L), jnp.float32),
             pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((6,)),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(sk, bd_in, bd01)
+    )(sk, bd01)
     grid = _stack_to_grid(stack, 1, MM, NN, B)
     return grid.at[:, 0, :].set(bd[:, : NN + 1])
 
@@ -406,20 +388,25 @@ def adjoint_blocked(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
 # Double-double stripes: the same decomposition with (hi, lo) planes
 # ---------------------------------------------------------------------------
 
-def _stripe_kernel_df(inch_hbm, incl_hbm, bdh_hbm, bdl_hbm, bd01_ref,
-                      rowh_ref, rowl_ref, sh, sl, ibh, ibl, bbh, bbl, isem,
-                      *, n_steps, MM, naive):
+def _stripe_kernel_df(inch_hbm, incl_hbm, bd01_ref, rowh_ref, rowl_ref,
+                      sh, sl, ibh, ibl, oregh, oregl, isem, osem,
+                      *, MM, naive):
     """Double-double stripe sweep (hi/lo planes throughout).
 
-    bd01_ref: (2, 2, P, 1) VMEM -- (component, diag) initial boundary.
-    isem: 12 semaphores (inc-h/l, bd-h/l, row-h/l; 2 slots each).
+    Boundary streams ride lane 0 of the hi/lo increment slabs; bottom rows
+    accumulate in rolling (P, LANES) registers flushed once per LANES
+    steps, exactly as in :func:`_stripe_kernel`. bd01_ref: (2, 2, P, 1)
+    VMEM -- (component, diag) initial boundary. isem: 4 in-semaphores
+    (inc-h/l, 2 slots each); osem: 2 out-semaphores (rows-h/l).
     """
     from .pallas_df64 import _df_scheme
 
     T = DMA_BATCH
     P, L = sh.shape[1], sh.shape[2]
-    n_batches = pl.cdiv(n_steps, T)
+    Tp = inch_hbm.shape[0]
+    n_batches = Tp // T
     ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    jj = lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
 
@@ -429,6 +416,8 @@ def _stripe_kernel_df(inch_hbm, incl_hbm, bdh_hbm, bdl_hbm, bd01_ref,
     sh[1] = jnp.where(ii == 0, bd01_ref[0, 1], init1)
     sl[0] = jnp.where(ii == 0, bd01_ref[1, 0], init0)
     sl[1] = jnp.where(ii == 0, bd01_ref[1, 1], init0)
+    oregh[...] = jnp.zeros((P, LANES), jnp.float32)
+    oregl[...] = jnp.zeros((P, LANES), jnp.float32)
 
     def in_copies(b, slot):
         ds = pl.ds(_ix(b * T), T)
@@ -437,10 +426,6 @@ def _stripe_kernel_df(inch_hbm, incl_hbm, bdh_hbm, bdl_hbm, bd01_ref,
                                   isem.at[_ix(slot)]),
             pltpu.make_async_copy(incl_hbm.at[ds], ibl.at[_ix(slot)],
                                   isem.at[_ix(2 + slot)]),
-            pltpu.make_async_copy(bdh_hbm.at[ds], bbh.at[_ix(slot)],
-                                  isem.at[_ix(4 + slot)]),
-            pltpu.make_async_copy(bdl_hbm.at[ds], bbl.at[_ix(slot)],
-                                  isem.at[_ix(6 + slot)]),
         )
 
     for c in in_copies(0, 0):
@@ -461,54 +446,43 @@ def _stripe_kernel_df(inch_hbm, incl_hbm, bdh_hbm, bdl_hbm, bd01_ref,
             q = b * T + t
             vm2, vm1 = t % 2, 1 - (t % 2)
 
-            @pl.when(q < n_steps)
-            def _():
-                uh, ul = ibh[bslot, t], ibl[bslot, t]
-                k10h, k10l = sh[vm1], sl[vm1]
-                k01h = pltpu.roll(k10h, jnp.int32(1), axis=1)
-                k01l = pltpu.roll(k10l, jnp.int32(1), axis=1)
-                k00h = pltpu.roll(sh[vm2], jnp.int32(1), axis=1)
-                k00l = pltpu.roll(sl[vm2], jnp.int32(1), axis=1)
-                vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
-                                    uh, ul, naive)
-                vh = jnp.where(ii == 0, bbh[bslot, t], vh)
-                vl = jnp.where(ii == 0, bbl[bslot, t], vl)
-                west = (ii == q + 2) | (ii > MM)
-                vh = jnp.where(west, one, vh)
-                vl = jnp.where(west, zero, vl)
+            uh, ul = ibh[bslot, t], ibl[bslot, t]
+            k10h, k10l = sh[vm1], sl[vm1]
+            k01h = pltpu.roll(k10h, jnp.int32(1), axis=1)
+            k01l = pltpu.roll(k10l, jnp.int32(1), axis=1)
+            k00h = pltpu.roll(sh[vm2], jnp.int32(1), axis=1)
+            k00l = pltpu.roll(sl[vm2], jnp.int32(1), axis=1)
+            vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
+                                uh, ul, naive)
+            vh = jnp.where(ii == 0, jnp.broadcast_to(uh[:, 0:1], (P, L)), vh)
+            vl = jnp.where(ii == 0, jnp.broadcast_to(ul[:, 0:1], (P, L)), vl)
+            west = (ii == q + 2) | (ii > MM)
+            vh = jnp.where(west, one, vh)
+            vl = jnp.where(west, zero, vl)
+            sh[vm2] = vh
+            sl[vm2] = vl
 
-                @pl.when(q >= 2)
-                def _():
-                    pltpu.make_async_copy(
-                        sh.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
-                        rowh_ref.at[_ix(q - 2)],
-                        isem.at[_ix(8 + t % 2)]).wait()
-                    pltpu.make_async_copy(
-                        sl.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
-                        rowl_ref.at[_ix(q - 2)],
-                        isem.at[_ix(10 + t % 2)]).wait()
-                sh[vm2] = vh
-                sl[vm2] = vl
-                pltpu.make_async_copy(
-                    sh.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
-                    rowh_ref.at[_ix(q)], isem.at[_ix(8 + t % 2)]).start()
-                pltpu.make_async_copy(
-                    sl.at[_ix(vm2), :, pl.ds(_ix(MM), 1)],
-                    rowl_ref.at[_ix(q)], isem.at[_ix(10 + t % 2)]).start()
+            oregh[...] = jnp.where(
+                jj == 0, jnp.broadcast_to(vh[:, MM:MM + 1], (P, LANES)),
+                pltpu.roll(oregh[...], jnp.int32(1), axis=1))
+            oregl[...] = jnp.where(
+                jj == 0, jnp.broadcast_to(vl[:, MM:MM + 1], (P, LANES)),
+                pltpu.roll(oregl[...], jnp.int32(1), axis=1))
+
+            @pl.when(lax.rem(q + 1, jnp.int32(LANES)) == 0)
+            def _():
+                c = lax.div(_ix(q), jnp.int32(LANES))
+                cph = pltpu.make_async_copy(oregh, rowh_ref.at[c],
+                                            osem.at[_ix(0)])
+                cpl = pltpu.make_async_copy(oregl, rowl_ref.at[c],
+                                            osem.at[_ix(1)])
+                cph.start()
+                cpl.start()
+                cph.wait()
+                cpl.wait()
         return 0
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
-
-    for off in range(2):  # static: drain the last two row writes
-        step = n_steps - 1 - off
-        if step >= 0:
-            par = step % 2
-            pltpu.make_async_copy(sh.at[_ix(par), :, pl.ds(_ix(MM), 1)],
-                                  rowh_ref.at[_ix(step)],
-                                  isem.at[_ix(8 + par)]).wait()
-            pltpu.make_async_copy(sl.at[_ix(par), :, pl.ds(_ix(MM), 1)],
-                                  rowl_ref.at[_ix(step)],
-                                  isem.at[_ix(10 + par)]).wait()
 
 
 def _stripe_bottom_row_df(hi_s, lo_s, bd, naive):
@@ -518,35 +492,17 @@ def _stripe_bottom_row_df(hi_s, lo_s, bd, naive):
     ``bd``: DF pair of (B, NN + 1). Returns a DF pair of (B, NN + 1).
     """
     B, MM, NN = hi_s.shape
-    n_steps = MM + NN - 1
-    P = ceil_to(B, SUBLANES)
-    L = ceil_to(MM + 1, LANES)
-    Tp = ceil_to(n_steps, max(LANES, DMA_BATCH))
-
-    def shear(x):
-        S = scan_solver.shear_rows(x, out_width=Tp)
-        S = jnp.pad(S, ((0, P - B), (1, L - (MM + 1)), (0, 0)))
-        return jnp.transpose(S, (2, 0, 1))
-
-    def bd_stream(c, fill):
-        cp = jnp.pad(c, ((0, P - B), (0, 0)), constant_values=fill)
-        st = jnp.pad(cp[:, 2:], ((0, 0), (0, Tp - (cp.shape[1] - 2))),
-                     constant_values=fill)
-        return jnp.transpose(st, (1, 0))[:, :, None], \
-            jnp.transpose(cp[:, :2], (1, 0))[:, :, None]
-
     bdh, bdl = bd
-    skh, skl = shear(hi_s), shear(lo_s)
-    bdh_in, bdh01 = bd_stream(bdh, 1.0)
-    bdl_in, bdl01 = bd_stream(bdl, 0.0)
+    skh, bdh01, (P, L, Tp) = _stripe_io(hi_s, bdh, fill=1.0)
+    skl, bdl01, _ = _stripe_io(lo_s, bdl, fill=0.0)
     bd01 = jnp.stack([bdh01, bdl01])            # (2, 2, P, 1)
 
-    kernel = functools.partial(_stripe_kernel_df, n_steps=n_steps, MM=MM,
-                               naive=naive)
+    kernel = functools.partial(_stripe_kernel_df, MM=MM, naive=naive)
     rows_h, rows_l = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct((Tp, P, 1), jnp.float32),) * 2,
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4
+        out_shape=(jax.ShapeDtypeStruct((Tp // LANES, P, LANES),
+                                        jnp.float32),) * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
         + [pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
         scratch_shapes=[
@@ -554,16 +510,17 @@ def _stripe_bottom_row_df(hi_s, lo_s, bd, naive):
             pltpu.VMEM((2, P, L), jnp.float32),
             pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
             pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH, P, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((12,)),
+            pltpu.VMEM((P, LANES), jnp.float32),
+            pltpu.VMEM((P, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
-    )(skh, skl, bdh_in, bdl_in, bd01)
+    )(skh, skl, bd01)
 
     def unpack(rows, fill):
-        rT = jnp.transpose(rows[:, :, 0], (1, 0))
+        rT = _unpack_rows(rows)
         vals = lax.dynamic_slice_in_dim(rT, MM - 1, NN, axis=1)
         first = jnp.full((P, 1), fill, jnp.float32)
         return jnp.concatenate([first, vals], axis=1)[:B]
