@@ -100,6 +100,25 @@ def _refined_increments(paths: jnp.ndarray, dyadic_order: int):
 FUSED_CHUNK = 128
 
 
+def supported(M: int, N: int, D: int, dyadic_order: int) -> bool:
+    """Can the fused kernels run this problem? TPU backend + the refined
+    row slab (and every per-component register slab) within the VMEM
+    budget. The RBF-dyadic kernel is the hungriest: ~(4D + 10) slabs of
+    (FUSED_CHUNK, L) f32."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    f = 2 ** dyadic_order
+    MM = f * (M - 1)
+    L = ceil_to(MM + 1, LANES)
+    slabs = 4 * D + 10
+    return M > 1 and N > 1 and \
+        slabs * FUSED_CHUNK * L * 4 <= 90 * 1024 * 1024
+
+
 def _solve_one(dxdy, MM, NN, D, naive):
     dx, dy = dxdy  # (chunk, MM, D), (chunk, NN, D)
     B = dx.shape[0]

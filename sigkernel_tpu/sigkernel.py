@@ -37,8 +37,8 @@ from .utils import pad_batch as _pad_batch  # shared leading-axis padding
 # Core computations
 # ---------------------------------------------------------------------------
 
-def _fused_pairwise(static_kernel, X, Y, dyadic_order, naive):
-    """Route to the in-kernel increment solvers (forward-only, f32)."""
+def _fused_forward(static_kernel, X, Y, dyadic_order, naive):
+    """Dispatch to the in-kernel increment solvers (forward value, f32)."""
     from .ops import pallas_fused
 
     if type(static_kernel) is _kernels.LinearKernel:
@@ -55,6 +55,50 @@ def _fused_pairwise(static_kernel, X, Y, dyadic_order, naive):
     raise ValueError(
         "solver='fused' supports LinearKernel and RBFKernel (any "
         f"dyadic_order); got {type(static_kernel).__name__}")
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _pair_fused(static_kernel, X, Y, dyadic_order, naive):
+    """Differentiable fused pairwise solve.
+
+    Forward: the in-kernel increment wavefront (no increment grid, no HBM
+    stream; measured on-chip ~1000x more accurate than the f32
+    double-difference route because the increments never suffer
+    cancellation). Backward: the standard adjoint dispatch on the
+    (recomputed) increment grid, chained to paths and traceable kernel
+    hyperparameters by ``jax.vjp`` through the increment prep.
+    """
+    return _fused_forward(static_kernel, X, Y, dyadic_order, naive)
+
+
+def _pair_fused_fwd(static_kernel, X, Y, dyadic_order, naive):
+    return (_pair_fused(static_kernel, X, Y, dyadic_order, naive),
+            (static_kernel, X, Y))
+
+
+def _pair_fused_bwd(dyadic_order, naive, res, g):
+    from .ops.solve import _solve_bwd
+
+    static_kernel, X, Y = res
+
+    def inc_fn(sk_, x, y):
+        return double_difference(sk_.batch_kernel(x, y))
+
+    inc, vjp = jax.vjp(inc_fn, static_kernel, X, Y)
+    (ct,) = _solve_bwd(naive, "auto", dyadic_order, "auto", inc,
+                       g.astype(inc.dtype))
+    return vjp(ct)
+
+
+_pair_fused.defvjp(_pair_fused_fwd, _pair_fused_bwd)
+
+
+def _fused_pairwise(static_kernel, X, Y, dyadic_order, naive):
+    """Fused pairwise solve (differentiable; see :func:`_pair_fused`)."""
+    return _pair_fused(static_kernel, X, Y, dyadic_order, naive)
 
 
 _DF_KERNELS = (_kernels.LinearKernel, _kernels.RBFKernel)
@@ -93,6 +137,25 @@ def _df_increments(static_kernel, x, y, gram: bool):
     return df_prep.rbf_increments_df(x, y, static_kernel.sigma, gram)
 
 
+def _fused_auto(static_kernel, X, Y, solver, grad_solver, dyadic_order):
+    """Should ``solver="auto"`` take the fused in-kernel increment path?
+
+    f32 inputs + Linear/RBF + TPU + supported size. The fused forward is
+    both faster (no increment grid or HBM stream) and ~1000x more accurate
+    than the f32 double-difference route (hardware-measured; see
+    :mod:`.ops.pallas_fused`). ``grad_solver="df64"`` opts out (its
+    backward runs the f32-grade adjoint).
+    """
+    if solver != "auto" or grad_solver == "df64":
+        return False
+    if X.dtype != jnp.float32 or type(static_kernel) not in _DF_KERNELS:
+        return False
+    from .ops import pallas_fused
+
+    return pallas_fused.supported(X.shape[-2], Y.shape[-2], X.shape[-1],
+                                  dyadic_order)
+
+
 def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
                solver="auto", max_batch: Optional[int] = 100,
                length_bucket: Optional[int] = None, grad_solver="auto"):
@@ -108,7 +171,8 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
         X = pad_length(X, length_bucket)
         Y = pad_length(Y, length_bucket)
 
-    if solver == "fused":
+    if solver == "fused" or _fused_auto(static_kernel, X, Y, solver,
+                                        grad_solver, dyadic_order):
         return _fused_pairwise(static_kernel, X, Y, dyadic_order, naive)
 
     use_df = _df_route(static_kernel, X, solver, grad_solver)
@@ -195,7 +259,8 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
         return _gram_sym_triangle(static_kernel, X, dyadic_order, naive,
                                   solver, max_batch, grad_solver)
 
-    if solver == "fused":
+    if solver == "fused" or _fused_auto(static_kernel, X, Y, solver,
+                                        grad_solver, dyadic_order):
         A, B = X.shape[0], Y.shape[0]
         rows_per = max(1, (max_batch or A * B) // max(B, 1))
         parts = []
@@ -206,7 +271,10 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
             parts.append(_fused_pairwise(static_kernel, Xp, Yp,
                                          dyadic_order, naive))
         vals = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
-        return vals.reshape(A, B)
+        K = vals.reshape(A, B)
+        if sym:
+            K = 0.5 * (K + K.T)
+        return K
 
     use_df = _df_route(static_kernel, X, solver, grad_solver)
 

@@ -145,3 +145,68 @@ def test_fused_rbf_dyadic_f1_matches_dyadic0_kernel(rng):
     a = np.asarray(pallas_fused.solve_final_rbf_dyadic(X, Y, 0.7, 0))
     b = np.asarray(pallas_fused.solve_final_rbf(X, Y, 0.7))
     np.testing.assert_allclose(a, b, rtol=2e-5)
+
+
+def test_fused_is_differentiable(rng):
+    """solver='fused' carries a custom_vjp: gradients equal the scan route
+    (same adjoint on the same increments, bit-for-bit on CPU)."""
+    import jax
+
+    X = jnp.asarray(make_paths(rng, 3, 10, 2), jnp.float32)
+    Y = jnp.asarray(make_paths(rng, 3, 13, 2), jnp.float32)
+    k = sk.RBFKernel(0.8)
+
+    def loss(solver):
+        return lambda x: sk.sig_kernel(k, x, Y, dyadic_order=1,
+                                       solver=solver, max_batch=None).sum()
+
+    g_fused = jax.grad(loss("fused"))(X)
+    g_scan = jax.grad(loss("scan"))(X)
+    np.testing.assert_allclose(np.asarray(g_fused), np.asarray(g_scan),
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_fused_sigma_gradient_flows(rng):
+    """Traceable hyperparameters get cotangents through the fused route."""
+    import jax
+
+    X = jnp.asarray(make_paths(rng, 2, 8, 2), jnp.float32)
+
+    def loss(solver):
+        return lambda s: sk.sig_kernel(sk.RBFKernel(s), X, X,
+                                       dyadic_order=0, solver=solver,
+                                       max_batch=None).sum()
+
+    gs_fused = jax.grad(loss("fused"))(jnp.float32(0.7))
+    gs_scan = jax.grad(loss("scan"))(jnp.float32(0.7))
+    np.testing.assert_allclose(float(gs_fused), float(gs_scan),
+                               rtol=1e-5)
+
+
+def test_fused_gram_differentiable_and_sym(rng):
+    import jax
+
+    X = jnp.asarray(make_paths(rng, 4, 9, 2), jnp.float32)
+    k = sk.LinearKernel()
+    G = sk.sig_gram(k, X, X, dyadic_order=0, solver="fused", sym=True,
+                    max_batch=None)
+    assert bool(jnp.allclose(G, G.T))
+    g = jax.grad(lambda x: sk.sig_gram(k, x, X, dyadic_order=0,
+                                       solver="fused",
+                                       max_batch=None).sum())(X)
+    gw = jax.grad(lambda x: sk.sig_gram(k, x, X, dyadic_order=0,
+                                        solver="scan",
+                                        max_batch=None).sum())(X)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gw),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_fused_auto_probe():
+    """The auto-route probe requires a TPU backend and bounded sizes."""
+    from sigkernel_tpu.ops import pallas_fused
+    from sigkernel_tpu.sigkernel import _fused_auto
+
+    # CPU platform in tests: never auto-routed (explicit 'fused' still works)
+    X = jnp.zeros((2, 16, 3), jnp.float32)
+    assert not _fused_auto(sk.RBFKernel(1.0), X, X, "auto", "auto", 0)
+    assert not pallas_fused.supported(16, 16, 3, 0)
