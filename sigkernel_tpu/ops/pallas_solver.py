@@ -237,16 +237,28 @@ def _pad_shear(inc: jnp.ndarray, dma_batch: int):
 
 
 # HBM budget for one chunk's sheared increment stream (per f32 plane)
-CHUNK_BYTES = 1 << 30
+# sheared-stream budget per kernel launch. XLA materialises ~3 copies of
+# the stream (pad, reshape, transpose), so keep budget*3 well under HBM;
+# 4.5 GB keeps the benchmark config (64 f64 pairs at 2046^2, 2 planes,
+# ~67 MB/pair) in a single launch, which measured ~12 GB peak HBM.
+CHUNK_BYTES = 9 << 29
 
 
 def pair_chunk(MM: int, NN: int, planes: int = 1) -> int:
-    """Pairs per kernel launch, keeping the sheared stream under budget."""
+    """Pairs per kernel launch, keeping the sheared stream under budget.
+
+    Chunks of >= LANES pairs round to LANES granularity (pairs-on-lanes
+    layout); smaller budgets round to SUBLANES (pairs-on-sublanes layout).
+    Flooring UP to LANES here would blow the budget ~8x at big grids and
+    OOM HBM on the XLA-side stream copies.
+    """
     n_steps = MM + NN - 1
     L = ceil_to(MM + 1, SUBLANES)
     per_pair = n_steps * L * 4 * planes
-    c = (CHUNK_BYTES // max(per_pair, 1)) // LANES * LANES
-    return int(min(max(c, LANES), 4096))
+    c = CHUNK_BYTES // max(per_pair, 1)
+    if c >= LANES:
+        return int(min(c // LANES * LANES, 4096))
+    return int(max(c // SUBLANES * SUBLANES, SUBLANES))
 
 
 def _chunk_map(fn, args, chunk: int):
