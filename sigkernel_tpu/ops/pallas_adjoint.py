@@ -41,9 +41,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, PS_LAYOUT_MAX_B,
-                            _ix, _scheme, _chunk_map, _pad_shear, _layout,
-                            _stack_to_grid, _solve_stack_one, pair_chunk,
-                            adjoint_dd)
+                            IN_OFF, _ix, _scheme, _chunk_map, _pad_shear,
+                            _layout, _stack_to_grid, _solve_stack_one,
+                            pair_chunk, adjoint_dd)
 from ..utils import ceil_to, dyadic_refine
 
 TB = 4        # diagonals per DMA batch (even: static ping-pong slots)
@@ -82,11 +82,12 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
     pre1.wait()
     pre2.wait()
     gv = g_ref[...]
+    # cotangent stack entries land at q + 2 (fast unshear convention)
     obuf[0] = pltpu.roll(fbuf[0, 0], jnp.int32(1), axis=1) * gv
-    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(n_steps - 1)],
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(n_steps + 1)],
                           isem.at[_ix(4)]).start()
     obuf[1] = pltpu.roll(fbuf[0, 1], jnp.int32(1), axis=1) * gv
-    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(n_steps - 2)],
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(n_steps)],
                           isem.at[_ix(5)]).start()
 
     def in_copies(b, slot):
@@ -94,7 +95,8 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
         # E_b + PAD_F >= 0 by construction
         E_b = n_steps - 4 - (b + 1) * TB + PAD_F
         return (
-            pltpu.make_async_copy(rinc_hbm.at[pl.ds(_ix(b * TB), TB)],
+            pltpu.make_async_copy(rinc_hbm.at[pl.ds(_ix(b * TB + IN_OFF),
+                                                    TB)],
                                   ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
             pltpu.make_async_copy(fstk_hbm.at[pl.ds(_ix(E_b), TB)],
                                   fbuf.at[_ix(slot)], isem.at[_ix(2 + slot)]),
@@ -145,29 +147,29 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
                     prod = A1 * A2 * g_ref[...]
 
                     oslot = t % 2
-                    # the previous same-slot copy targeted out[q + 2]
+                    # the previous same-slot copy targeted entry q + 4
                     # (the pre-loop ones for the first two emissions)
                     pltpu.make_async_copy(obuf.at[_ix(oslot)],
-                                          out_hbm.at[_ix(q + 2)],
+                                          out_hbm.at[_ix(q + 4)],
                                           isem.at[_ix(4 + oslot)]).wait()
                     obuf[oslot] = prod
                     pltpu.make_async_copy(obuf.at[_ix(oslot)],
-                                          out_hbm.at[_ix(q)],
+                                          out_hbm.at[_ix(q + 2)],
                                           isem.at[_ix(4 + oslot)]).start()
         return 0
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
 
-    # drain the last two product writes (diagonals q = 0, 1)
+    # drain the last two product writes (diagonals q = 0, 1 -> entries 2, 3)
     lastq_r = n_steps - 3      # emitted q = 0
     @pl.when(lastq_r >= 0)
     def _():
-        pltpu.make_async_copy(obuf.at[_ix(lastq_r % 2)], out_hbm.at[_ix(0)],
+        pltpu.make_async_copy(obuf.at[_ix(lastq_r % 2)], out_hbm.at[_ix(2)],
                               isem.at[_ix(4 + lastq_r % 2)]).wait()
     @pl.when(lastq_r >= 1)
     def _():
         s = (lastq_r - 1) % 2
-        pltpu.make_async_copy(obuf.at[_ix(s)], out_hbm.at[_ix(1)],
+        pltpu.make_async_copy(obuf.at[_ix(s)], out_hbm.at[_ix(3)],
                               isem.at[_ix(4 + s)]).wait()
 
 
@@ -214,16 +216,16 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         rinc = dyadic_refine(rbase, dyadic_order)          # (B, NN, MM)
         sk, n_steps, row_axis, slab = _pad_shear(rinc, TB)
         assert row_axis == 1 and slab == (P, L_r) and n_steps == T
-        sk = sk[:Tp] if sk.shape[0] >= Tp else jnp.pad(
-            sk, ((0, Tp - sk.shape[0]), (0, 0), (0, 0)))
 
         gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
 
+        # aligned cotangent-stack extent; entries land at q + 2
+        Tp_out = ceil_to(T + 2, LANES)
         kernel = functools.partial(_product_kernel, n_steps=T, MM=MM,
                                    NN=NN, L_f=L_f, naive=naive)
         cot = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((Tp, P, L_f), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Tp_out, P, L_f), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -239,7 +241,7 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
                 vmem_limit_bytes=110 * 1024 * 1024),
         )(sk, S_f, gp)
 
-        grid = _stack_to_grid(cot, 1, MM, NN, B)           # (B, MM+1, NN+1)
+        grid = _stack_to_grid(cot, 1, MM, NN, B, pre=2)    # (B, MM+1, NN+1)
         return grid[:, 1:, 1:]
 
     return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)

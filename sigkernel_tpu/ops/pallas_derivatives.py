@@ -24,8 +24,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import (MAX_ROWS, _ix, _pad_shear, _extract_final,
-                            _chunk_map, pair_chunk)
+from .pallas_solver import (MAX_ROWS, IN_OFF, _ix, _pad_shear,
+                            _extract_final, _chunk_map, pair_chunk)
 
 DMA_BATCH = 2  # three ibuf planes per slot
 
@@ -62,12 +62,13 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
     sst[1] = jnp.zeros(slab, jnp.float32)
 
     def in_copies(b, slot):
+        ds = pl.ds(_ix(b * T + IN_OFF), T)
         return (
-            pltpu.make_async_copy(u_hbm.at[pl.ds(_ix(b * T), T)],
+            pltpu.make_async_copy(u_hbm.at[ds],
                                   ibu.at[_ix(slot)], isem.at[_ix(slot)]),
-            pltpu.make_async_copy(ud_hbm.at[pl.ds(_ix(b * T), T)],
+            pltpu.make_async_copy(ud_hbm.at[ds],
                                   ibd.at[_ix(slot)], isem.at[_ix(2 + slot)]),
-            pltpu.make_async_copy(us_hbm.at[pl.ds(_ix(b * T), T)],
+            pltpu.make_async_copy(us_hbm.at[ds],
                                   ibs.at[_ix(slot)], isem.at[_ix(4 + slot)]),
         )
 

@@ -31,8 +31,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import (MAX_ROWS, _ix, _maybe_transpose, _pad_shear,
-                            _extract_final, _stack_to_grid)
+from .pallas_solver import (LANES, MAX_ROWS, IN_OFF, _ix, _maybe_transpose,
+                            _pad_shear, _extract_final, _stack_to_grid)
+from ..utils import ceil_to
 
 DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
 
@@ -164,7 +165,8 @@ def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
 
 def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
                          sh_ref, sl_ref, ibh, ibl, isem,
-                         *, n_steps, MM, row_axis, naive, grid_out):
+                         *, n_steps, MM, row_axis, naive, grid_out,
+                         out_offset=0):
     T = DMA_BATCH
     slab = sh_ref.shape[1:]
     n_batches = pl.cdiv(n_steps, T)
@@ -178,9 +180,10 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
     sl_ref[1] = jnp.zeros(slab, jnp.float32)
 
     def in_copy(b, slot):
-        return (pltpu.make_async_copy(inch_hbm.at[pl.ds(_ix(b * T), T)],
+        ds = pl.ds(_ix(b * T + IN_OFF), T)
+        return (pltpu.make_async_copy(inch_hbm.at[ds],
                                       ibh.at[_ix(slot)], isem.at[_ix(slot)]),
-                pltpu.make_async_copy(incl_hbm.at[pl.ds(_ix(b * T), T)],
+                pltpu.make_async_copy(incl_hbm.at[ds],
                                       ibl.at[_ix(slot)],
                                       isem.at[_ix(2 + slot)]))
 
@@ -220,20 +223,22 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
                 if grid_out:
                     @pl.when(q >= 2)
                     def _():
-                        pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
-                                              outh_ref.at[_ix(q - 2)],
-                                              isem.at[_ix(4 + t % 2)]).wait()
-                        pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
-                                              outl_ref.at[_ix(q - 2)],
-                                              isem.at[_ix(6 + t % 2)]).wait()
+                        pltpu.make_async_copy(
+                            sh_ref.at[_ix(vm2)],
+                            outh_ref.at[_ix(q - 2 + out_offset)],
+                            isem.at[_ix(4 + t % 2)]).wait()
+                        pltpu.make_async_copy(
+                            sl_ref.at[_ix(vm2)],
+                            outl_ref.at[_ix(q - 2 + out_offset)],
+                            isem.at[_ix(6 + t % 2)]).wait()
                 sh_ref[vm2] = vh
                 sl_ref[vm2] = vl
                 if grid_out:
                     pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
-                                          outh_ref.at[_ix(q)],
+                                          outh_ref.at[_ix(q + out_offset)],
                                           isem.at[_ix(4 + t % 2)]).start()
                     pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
-                                          outl_ref.at[_ix(q)],
+                                          outl_ref.at[_ix(q + out_offset)],
                                           isem.at[_ix(6 + t % 2)]).start()
         return 0
 
@@ -244,18 +249,18 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
     last = (n_steps - 1) % 2
     if grid_out:
         pltpu.make_async_copy(sh_ref.at[_ix(last)],
-                              outh_ref.at[_ix(n_steps - 1)],
+                              outh_ref.at[_ix(n_steps - 1 + out_offset)],
                               isem.at[_ix(4 + last)]).wait()
         pltpu.make_async_copy(sl_ref.at[_ix(last)],
-                              outl_ref.at[_ix(n_steps - 1)],
+                              outl_ref.at[_ix(n_steps - 1 + out_offset)],
                               isem.at[_ix(6 + last)]).wait()
         @pl.when(n_steps >= 2)
         def _():
             pltpu.make_async_copy(sh_ref.at[_ix(1 - last)],
-                                  outh_ref.at[_ix(n_steps - 2)],
+                                  outh_ref.at[_ix(n_steps - 2 + out_offset)],
                                   isem.at[_ix(4 + (1 - last))]).wait()
             pltpu.make_async_copy(sl_ref.at[_ix(1 - last)],
-                                  outl_ref.at[_ix(n_steps - 2)],
+                                  outl_ref.at[_ix(n_steps - 2 + out_offset)],
                                   isem.at[_ix(6 + (1 - last))]).wait()
     else:
         outh_ref[...] = sh_ref[last]
@@ -342,9 +347,10 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
     B = inc3.shape[0]
     MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
     skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3, dyadic_order)
-    Tp = skh.shape[0]
+    Tp = ceil_to(n_steps + 2, LANES)   # aligned stack; entries at q + 2
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
-                               row_axis=row_axis, naive=naive, grid_out=True)
+                               row_axis=row_axis, naive=naive, grid_out=True,
+                               out_offset=2)
     diag_h, diag_l = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
@@ -356,10 +362,11 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(skh, skl)
-    Kh = _stack_to_grid(diag_h, row_axis, MM, NN, B).astype(jnp.float64)
+    Kh = _stack_to_grid(diag_h, row_axis, MM, NN, B,
+                        pre=2).astype(jnp.float64)
     # lo plane carries the correction term: its boundary is exactly zero
     Kl = _stack_to_grid(diag_l, row_axis, MM, NN, B,
-                        boundary=0.0).astype(jnp.float64)
+                        boundary=0.0, pre=2).astype(jnp.float64)
     return Kh + Kl
 
 

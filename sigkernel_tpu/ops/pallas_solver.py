@@ -99,6 +99,11 @@ def _ix(v):
 # in-batch step is static: (b*T + t) % 2 == t % 2)
 DMA_BATCH = 4
 
+# Sheared streams carry step q at index q + IN_OFF: the aligned-pad shear
+# (see _pad_shear) shifts the stream by the one top boundary row it inserts.
+# Kernels add IN_OFF to every input-stream DMA index.
+IN_OFF = 1
+
 
 def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
                       *, n_steps, MM, row_axis, naive, grid_out,
@@ -126,8 +131,9 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
     state[1] = jnp.ones(slab, jnp.float32)  # v_1
 
     def in_copy(b, slot):
-        return pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
-                                     ibuf.at[_ix(slot)], isem.at[_ix(slot)])
+        return pltpu.make_async_copy(
+            inc_hbm.at[pl.ds(_ix(b * T + IN_OFF), T)],
+            ibuf.at[_ix(slot)], isem.at[_ix(slot)])
 
     in_copy(0, 0).start()
 
@@ -209,29 +215,44 @@ def _layout(B: int, MM: int):
 
 
 def _pad_shear(inc: jnp.ndarray, dma_batch: int):
-    """(B, MM, NN) -> sheared (n_steps_pad, *slab) + geometry.
+    """(B, MM, NN) -> sheared (W, *slab) stream + geometry, with step ``q``
+    at stream index ``q + IN_OFF``.
 
-    ``out[q, ..row i.., ..pair b..] = inc[b, i-1, q-i+1]`` (zeros out of
-    range; axis order per layout). Shearing is pad+reshape (no gather), with
-    every intermediate padded to lane/sublane multiples BEFORE the copies:
-    unaligned minor dims make TPU copies/transposes ~10x slower and
-    dominated the whole solve before this.
+    ``out[q + IN_OFF, ..row i.., ..pair b..] = inc[b, i-1, q-i+1]`` (zeros
+    out of range; axis order per layout). One *aligned* pad realises both
+    the slab geometry and the shear: padding each pair's grid to a
+    lane-multiple row width ``W0`` and viewing the flat buffer with row
+    stride ``W = W0 - 1`` shifts row ``i`` by ``i`` (the flat-stride shear),
+    and because the top boundary row is part of the pad, the shift lands at
+    ``i`` rather than ``i - 1`` -- hence the constant ``IN_OFF`` stream
+    offset instead of a second (misaligned, ~10x slower) pad. The only
+    full passes over stream-sized data are the aligned pad, the truncating
+    reshape, and one XLA transpose (measured fast; the old odd-width pad
+    dominated the entire solve).
+
+    Zero-band proof: for ``t < i`` the flat view reads row ``i-1`` at
+    column ``t - i + W0 >= W0 - (rows-1)``; for valid rows ``i <= MM`` this
+    is ``>= NN + 2`` with ``W0 >= n_steps + 2``, i.e. inside the zero pad,
+    so cells ahead of the wavefront always see zero increments (rows beyond
+    ``MM`` are masked by the kernels). Junk slabs past ``n_steps`` are
+    DMA'd but guarded off.
     """
     B, MM, NN = inc.shape
     n_steps = MM + NN - 1
     row_axis, slab, b_pad = _layout(B, MM)
-    # aligned shear width; also serves as the padded step count (a multiple
-    # of 128 is a multiple of any dma_batch used here)
-    Tp = ceil_to(n_steps, max(LANES, dma_batch))
-    S = scan_solver.shear_rows(inc, out_width=Tp)  # (B, MM, Tp), aligned rows
-    # pad pairs and rows (top 1 row realises the i = a + 1 shift) to the
-    # full slab dims BEFORE transposing, so the transpose is all-aligned
     rows_dim = slab[0] if row_axis == 0 else slab[1]
     pairs_dim = slab[1] if row_axis == 0 else slab[0]
-    S = jnp.pad(S, ((0, pairs_dim - B), (1, rows_dim - (MM + 1)), (0, 0)))
-    if row_axis == 0:  # -> (Tp, L_rows, P_lanes)
+    # W must cover the last DMA batch: IN_OFF + ceil(n_steps/T)*T <= W
+    W0 = ceil_to(n_steps + IN_OFF + dma_batch, LANES)
+    W = W0 - 1
+    # x0[p, i, c] = inc[p, i-1, c]; aligned minor width W0
+    x0 = jnp.pad(inc, ((0, pairs_dim - B), (1, rows_dim - (MM + 1)),
+                       (0, W0 - NN)))
+    flat = x0.reshape(pairs_dim, rows_dim * W0)[:, : rows_dim * W]
+    S = flat.reshape(pairs_dim, rows_dim, W)   # S[p, i, t] = x0[p, i, t-i]
+    if row_axis == 0:  # -> (W, L_rows, P_lanes)
         sk = jnp.transpose(S, (2, 1, 0))
-    else:              # -> (Tp, P_sub, L_lanes)
+    else:              # -> (W, P_sub, L_lanes)
         sk = jnp.transpose(S, (2, 0, 1))
     return sk, n_steps, row_axis, slab
 
@@ -297,14 +318,16 @@ def _stack_to_diags(diags, row_axis, MM, B):
     return diags[:, :B, :MM + 1]
 
 
-def _stack_to_grid(stack, row_axis, MM, NN, B, boundary=1.0):
+def _stack_to_grid(stack, row_axis, MM, NN, B, boundary=1.0, pre=0):
     """Diagonal stack ``(Tp, *slab)`` -> solution grids ``(B, MM+1, NN+1)``.
 
-    Aligned inverse shear: transpose the (128-padded) stack so every minor
-    dim is lane-aligned, then recover ``K[b, i, j] = D[b, i, i + j - 2]``
-    with the flat-stride trick (view row length ``Tp + 1``), writing
-    lane-aligned rows and slicing afterwards. Junk in the padded step rows
-    is unreachable for valid ``(i, j)``.
+    ``pre``: stack position of diagonal ``q`` is ``q + pre``. With
+    ``pre=2`` (kernels write with ``out_offset=2``) the inverse shear is
+    pure flat-stride arithmetic -- ``K[b, i, j] = stack[i + j]`` at row
+    ``i`` -- needing only a cheap *tail* pad before the re-view. ``pre=0``
+    keeps the legacy path whose 2-element *leading* pad shifts the whole
+    (GB-scale) buffer by an unaligned offset (~10x slower on TPU; only the
+    adjoint_dd fallback still uses it).
     """
     Tp = stack.shape[0]
     if row_axis == 0:   # (Tp, L, P) -> (P, L, Tp)
@@ -312,6 +335,18 @@ def _stack_to_grid(stack, row_axis, MM, NN, B, boundary=1.0):
     else:               # (Tp, P, L) -> (P, L, Tp)
         D = jnp.transpose(stack, (1, 2, 0))
     P_dim, L_dim, _ = D.shape
+    if pre == 2:
+        # entry q at q+2: K[i, j] = D[i, i+j]; view row width Tp+1 realises
+        # the +i shift, one tail pad supplies the extra row slack
+        flat = D.reshape(P_dim, L_dim * Tp)
+        flat = jnp.pad(flat, ((0, 0), (0, L_dim)))
+        K = flat.reshape(P_dim, L_dim, Tp + 1)[:, :MM + 1, :NN + 1]
+        i = jnp.arange(MM + 1)[:, None]
+        j = jnp.arange(NN + 1)[None, :]
+        K = jnp.where((i == 0) | (j == 0),
+                      jnp.asarray(boundary, K.dtype), K)
+        return K[:B]
+    assert pre == 0, "only pre in (0, 2) is implemented"
     W = Tp + 1
     flat = D.reshape(P_dim, L_dim * Tp)
     flat = jnp.pad(flat, ((0, 0), (2, L_dim * W - L_dim * Tp - 2)))
@@ -352,9 +387,12 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
     inc3 = dyadic_refine(inc3, dyadic_order)  # f32 repeat + exact scale
     B, MM, NN = inc3.shape
     sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
-    Tp = sk.shape[0]
+    # aligned output extent (the fast unshear transposes it to minor), with
+    # entry q written at q + 2 so the unshear needs no leading shift
+    Tp = ceil_to(n_steps + 2, LANES)
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
-                               row_axis=row_axis, naive=naive, grid_out=True)
+                               row_axis=row_axis, naive=naive, grid_out=True,
+                               out_offset=2)
     diags = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
@@ -368,7 +406,7 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(sk)
-    return _stack_to_grid(diags, row_axis, MM, NN, B)
+    return _stack_to_grid(diags, row_axis, MM, NN, B, pre=2)
 
 
 @functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))

@@ -22,10 +22,15 @@ avoiding 4x of emulated-f64 data movement. The backward collapses the
 refined adjoint back to the base grid (the VJP of the refinement).
 
 Gradient precision: the ``pallas_df64`` tier runs its *backward* sweeps with
-the plain f32 kernel. The adjoint is itself a continuous approximation and
-the reference's own gradients carry ~1e-7 relative error from the h=1e-9
-bump, so f32-grade backward matches reference gradient quality at a fraction
-of the cost; use ``solver="scan"`` for full-f64 adjoints.
+the plain f32 kernel. Measured on hardware at the benchmark size (len 1024,
+dyadic 1): ~2e-2 max-relative vs the exact f64 adjoint -- the error is NOT
+the adjoint sweep itself but f32 cancellation in the double-difference VJP
+downstream (the discrete Laplacian of the smooth ``KK`` product loses
+~(grid/lambda)^2 digits). This is the same cancellation the reference's f32
+CUDA backward has at equal sizes (its CPU path avoids it only by being
+f64 end-to-end). For f64-grade gradients pass ``grad_solver="df64"``
+(double-double grid sweeps + f64 VJP chain, ~3x backward cost) or
+``solver="scan"``.
 """
 from __future__ import annotations
 
