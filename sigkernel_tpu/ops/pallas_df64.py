@@ -164,12 +164,18 @@ def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
 # ---------------------------------------------------------------------------
 
 def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
-                         sh_ref, sl_ref, ibh, ibl, isem,
+                         sh_ref, sl_ref, ibh, ibl, isem, carryh, carryl,
                          *, n_steps, MM, row_axis, naive, grid_out,
-                         out_offset=0):
+                         out_offset=0, refine=1):
+    """Double-double wavefront; ``refine > 1`` consumes the row-stretched
+    base stream (select + roll per step; see
+    ``pallas_solver._wavefront_kernel`` for the refinement contract)."""
     T = DMA_BATCH
+    f = refine
     slab = sh_ref.shape[1:]
-    n_batches = pl.cdiv(n_steps, T)
+    n_slots = pl.cdiv(n_steps, f) if f > 1 else n_steps
+    n_batches = pl.cdiv(n_slots, T)
+    in_off = IN_OFF if f == 1 else 0
     ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
@@ -180,7 +186,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
     sl_ref[1] = jnp.zeros(slab, jnp.float32)
 
     def in_copy(b, slot):
-        ds = pl.ds(_ix(b * T + IN_OFF), T)
+        ds = pl.ds(_ix(b * T + in_off), T)
         return (pltpu.make_async_copy(inch_hbm.at[ds],
                                       ibh.at[_ix(slot)], isem.at[_ix(slot)]),
                 pltpu.make_async_copy(incl_hbm.at[ds],
@@ -189,6 +195,39 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
 
     for c in in_copy(0, 0):
         c.start()
+
+    def step(q, uh, ul, vm2, vm1, sp):
+        k10h, k10l = sh_ref[vm1], sl_ref[vm1]
+        k01h = pltpu.roll(k10h, jnp.int32(1), axis=row_axis)
+        k01l = pltpu.roll(k10l, jnp.int32(1), axis=row_axis)
+        k00h = pltpu.roll(sh_ref[vm2], jnp.int32(1), axis=row_axis)
+        k00l = pltpu.roll(sl_ref[vm2], jnp.int32(1), axis=row_axis)
+        vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
+                            uh, ul, naive)
+        mask = (ii == 0) | (ii == q + 2) | (ii > MM)
+        vh = jnp.where(mask, one, vh)
+        vl = jnp.where(mask, zero, vl)
+
+        if grid_out:
+            @pl.when(q >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    sh_ref.at[_ix(vm2)],
+                    outh_ref.at[_ix(q - 2 + out_offset)],
+                    isem.at[_ix(4 + sp)]).wait()
+                pltpu.make_async_copy(
+                    sl_ref.at[_ix(vm2)],
+                    outl_ref.at[_ix(q - 2 + out_offset)],
+                    isem.at[_ix(6 + sp)]).wait()
+        sh_ref[vm2] = vh
+        sl_ref[vm2] = vl
+        if grid_out:
+            pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
+                                  outh_ref.at[_ix(q + out_offset)],
+                                  isem.at[_ix(4 + sp)]).start()
+            pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
+                                  outl_ref.at[_ix(q + out_offset)],
+                                  isem.at[_ix(6 + sp)]).start()
 
     def body(b, _):
         bslot = lax.rem(b, jnp.int32(2))
@@ -202,44 +241,34 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
             c.wait()
 
         for t in range(T):
-            q = b * T + t
-            vm2, vm1 = t % 2, 1 - (t % 2)
+            if f == 1:
+                q = b * T + t
 
-            @pl.when(q < n_steps)
-            def _():
-                uh = ibh[bslot, t]
-                ul = ibl[bslot, t]
-                k10h, k10l = sh_ref[vm1], sl_ref[vm1]
-                k01h = pltpu.roll(k10h, jnp.int32(1), axis=row_axis)
-                k01l = pltpu.roll(k10l, jnp.int32(1), axis=row_axis)
-                k00h = pltpu.roll(sh_ref[vm2], jnp.int32(1), axis=row_axis)
-                k00l = pltpu.roll(sl_ref[vm2], jnp.int32(1), axis=row_axis)
-                vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
-                                    uh, ul, naive)
-                mask = (ii == 0) | (ii == q + 2) | (ii > MM)
-                vh = jnp.where(mask, one, vh)
-                vl = jnp.where(mask, zero, vl)
+                @pl.when(q < n_steps)
+                def _(q=q, t=t):
+                    step(q, ibh[bslot, t], ibl[bslot, t],
+                         t % 2, 1 - t % 2, t % 2)
+            else:
+                k = b * T + t
+                for s in range(f):
+                    q = k * f + s
+                    sp = s % 2   # == q % 2 (f even)
 
-                if grid_out:
-                    @pl.when(q >= 2)
-                    def _():
-                        pltpu.make_async_copy(
-                            sh_ref.at[_ix(vm2)],
-                            outh_ref.at[_ix(q - 2 + out_offset)],
-                            isem.at[_ix(4 + t % 2)]).wait()
-                        pltpu.make_async_copy(
-                            sl_ref.at[_ix(vm2)],
-                            outl_ref.at[_ix(q - 2 + out_offset)],
-                            isem.at[_ix(6 + t % 2)]).wait()
-                sh_ref[vm2] = vh
-                sl_ref[vm2] = vl
-                if grid_out:
-                    pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
-                                          outh_ref.at[_ix(q + out_offset)],
-                                          isem.at[_ix(4 + t % 2)]).start()
-                    pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
-                                          outl_ref.at[_ix(q + out_offset)],
-                                          isem.at[_ix(6 + t % 2)]).start()
+                    @pl.when(q < n_steps)
+                    def _(q=q, t=t, s=s, sp=sp):
+                        # previous diagonal: carry at batch start (the other
+                        # DMA slot is racing with the next prefetch)
+                        prvh = carryh[0] if t == 0 else ibh[bslot, t - 1]
+                        prvl = carryl[0] if t == 0 else ibl[bslot, t - 1]
+                        sel = lax.rem(ii, jnp.int32(f)) <= s
+                        ph = jnp.where(sel, ibh[bslot, t], prvh)
+                        pl_ = jnp.where(sel, ibl[bslot, t], prvl)
+                        uh = pltpu.roll(ph, jnp.int32(1), axis=row_axis)
+                        ul = pltpu.roll(pl_, jnp.int32(1), axis=row_axis)
+                        step(q, uh, ul, sp, 1 - sp, sp)
+        if f > 1:
+            carryh[0] = ibh[bslot, T - 1]
+            carryl[0] = ibl[bslot, T - 1]
         return 0
 
     # int32 loop bounds: under jax_enable_x64 a default (int64) fori index
@@ -279,22 +308,35 @@ def _split_hi_lo(x64: jnp.ndarray):
 
 def _pad_skew_components(hi: jnp.ndarray, lo: jnp.ndarray,
                          dyadic_order: int = 0):
-    """f32 hi/lo base components -> sheared hi/lo f32 arrays. Refinement is
-    a pure-f32 repeat + exact power-of-two scale per component."""
-    from ..utils import dyadic_refine
+    """f32 hi/lo base components -> streams + geometry.
 
-    hi = dyadic_refine(hi, dyadic_order)
-    lo = dyadic_refine(lo, dyadic_order)
-    skh, n_steps, row_axis, slab = _pad_shear(hi, DMA_BATCH)
-    skl, _, _, _ = _pad_shear(lo, DMA_BATCH)
-    return skh, skl, n_steps, row_axis, slab
+    Returns ``(skh, skl, n_steps, row_axis, slab, f)``. With
+    ``dyadic_order > 0`` the streams are row-stretched *base* streams
+    (offset 0, f^2 x less HBM, no refine passes -- measured to dominate the
+    old pipeline); components are pre-scaled by the exact power of two
+    ``1/f^2``.
+    """
+    from .pallas_solver import _layout, _stretch_stream
+
+    f = 2 ** dyadic_order
+    B, Mb, Nb = hi.shape
+    if f == 1:
+        skh, n_steps, row_axis, slab = _pad_shear(hi, DMA_BATCH)
+        skl, _, _, _ = _pad_shear(lo, DMA_BATCH)
+        return skh, skl, n_steps, row_axis, slab, f
+    s = jnp.float32(1.0 / (f * f))
+    row_axis, slab, _ = _layout(B, Mb * f)
+    skh = _stretch_stream(hi * s, f, DMA_BATCH, row_axis, slab)
+    skl = _stretch_stream(lo * s, f, DMA_BATCH, row_axis, slab)
+    n_steps = Mb * f + Nb * f - 1
+    return skh, skl, n_steps, row_axis, slab, f
 
 
 def _pad_skew_df(inc: jnp.ndarray, dyadic_order: int = 0):
-    """f64 base (B, M-1, N-1) -> sheared hi/lo f32 arrays.
+    """f64 base (B, M-1, N-1) -> sheared hi/lo f32 base streams.
 
     The hi/lo split runs at *base* resolution (one emulated-f64 subtraction
-    per base cell) -- 4x less emulated-f64 work than refining first.
+    per base cell); refinement happens in-kernel.
     """
     hi, lo = _split_hi_lo(inc)
     return _pad_skew_components(hi, lo, dyadic_order)
@@ -307,18 +349,20 @@ def _df_scratch(slab):
         pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
         pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
         pltpu.SemaphoreType.DMA((8,)),
+        pltpu.VMEM((1,) + slab, jnp.float32),
+        pltpu.VMEM((1,) + slab, jnp.float32),
     ]
 
 
 def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
                         dyadic_order: int = 0) -> jnp.ndarray:
-    f = 2 ** dyadic_order
     B = hi3.shape[0]
-    MM, NN = hi3.shape[-2] * f, hi3.shape[-1] * f
-    skh, skl, n_steps, row_axis, slab = _pad_skew_components(
+    skh, skl, n_steps, row_axis, slab, f = _pad_skew_components(
         hi3, lo3, dyadic_order)
+    MM = hi3.shape[-2] * f
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
-                               row_axis=row_axis, naive=naive, grid_out=False)
+                               row_axis=row_axis, naive=naive,
+                               grid_out=False, refine=f)
     outh, outl = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
@@ -343,14 +387,13 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
 
 def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
                     dyadic_order: int = 0) -> jnp.ndarray:
-    f = 2 ** dyadic_order
     B = inc3.shape[0]
+    skh, skl, n_steps, row_axis, slab, f = _pad_skew_df(inc3, dyadic_order)
     MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
-    skh, skl, n_steps, row_axis, slab = _pad_skew_df(inc3, dyadic_order)
     Tp = ceil_to(n_steps + 2, LANES)   # aligned stack; entries at q + 2
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=True,
-                               out_offset=2)
+                               out_offset=2, refine=f)
     diag_h, diag_l = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),

@@ -105,25 +105,49 @@ DMA_BATCH = 4
 IN_OFF = 1
 
 
-def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
+def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                       *, n_steps, MM, row_axis, naive, grid_out,
-                      out_offset=0):
+                      out_offset=0, refine=1):
     """Single-program wavefront sweep over slabs of shape ``state.shape[1:]``.
 
     ``row_axis``: which slab axis carries the diagonal row index ``i``
     (1 for pairs-on-sublanes, 0 for pairs-on-lanes). The other axis carries
     pairs.
 
-    ``inc_hbm``: (n_batches*T, *slab) sheared increments in HBM/ANY.
-    ``out_ref``: final slab-shaped VMEM output (row ``MM`` extracted by the
-    caller), or (n_steps, *slab) HBM diagonal stack when ``grid_out``.
-    ``state``: (2, *slab) VMEM ping-pong diagonals, statically indexed.
-    ``ibuf``: (2, T, *slab) VMEM DMA landing slots.
-    ``isem``: 4 DMA semaphores (2 in + 2 grid write-back).
+    ``inc_hbm``: sheared increments in HBM/ANY -- a *row-stretched base*
+    stream (one slab per base diagonal, ``refine^2``x less data, offset 0)
+    when ``refine > 1``, the plain refined stream (step ``q`` at ``q +
+    IN_OFF``) otherwise. ``out_ref``: final slab-shaped VMEM output (row
+    ``MM`` extracted by the caller), or an (>= n_steps + out_offset, *slab)
+    HBM diagonal stack when ``grid_out``. ``state``: (2, *slab) VMEM
+    ping-pong diagonals, statically indexed. ``ibuf``: (2, T, *slab) VMEM
+    DMA landing slots. ``isem``: 4 DMA semaphores (2 in + 2 write-back).
+
+    In-kernel dyadic refinement (``refine = f = 2^dyadic_order``, f even):
+    the refined increment ``u_q[i] = inc_base[(i-1)//f, (q+1-i)//f] / f^2``
+    lives on base anti-diagonal ``qb = (i-1)//f + (q+1-i)//f``, which for
+    step ``q = f*k + s`` is ``k`` on lanes with ``(i-1) mod f <= s`` and
+    ``k-1`` elsewhere. The XLA side delivers base diagonal ``k`` already
+    row-stretched to the refined slab (``d_k[i'] = base[i'//f, k-i'//f]``,
+    see ``_stretch_stream``), so one step is a compile-time parity select
+    between the current and previous buffered diagonals plus a single roll
+    (``u[i] = sel[i-1]``). The previous diagonal at a batch boundary comes
+    from ``carry`` -- a copy of the batch's last slab taken at the end of
+    each body. Reading the other DMA slot directly instead is a RACE: the
+    next batch's prefetch into that slot is already in flight (interpret
+    mode executes copies synchronously and cannot catch this). At ``k = 0``
+    the carry is uninitialised, which is safe: junk only ever reaches lanes
+    ahead of the wavefront, and every lane ``i`` is reset to the boundary
+    value by the ``i == q+2`` mask at step ``q = i-2`` -- immediately
+    before any valid cell consumes it (both its state slots are masked at
+    steps ``i-2``/``i-3``).
     """
     T = DMA_BATCH
+    f = refine
     slab = state.shape[1:]
-    n_batches = pl.cdiv(n_steps, T)
+    n_slots = pl.cdiv(n_steps, f) if f > 1 else n_steps
+    n_batches = pl.cdiv(n_slots, T)
+    in_off = IN_OFF if f == 1 else 0
     ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
     one = jnp.float32(1.0)
 
@@ -132,10 +156,35 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
 
     def in_copy(b, slot):
         return pltpu.make_async_copy(
-            inc_hbm.at[pl.ds(_ix(b * T + IN_OFF), T)],
+            inc_hbm.at[pl.ds(_ix(b * T + in_off), T)],
             ibuf.at[_ix(slot)], isem.at[_ix(slot)])
 
     in_copy(0, 0).start()
+
+    def step(q, u, vm2_s, vm1_s, sp):
+        """One refined wavefront step (sp = q % 2, compile-time)."""
+        vm1 = state[vm1_s]
+        k10 = vm1
+        k01 = pltpu.roll(vm1, jnp.int32(1), axis=row_axis)
+        k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=row_axis)
+        v = _scheme(k00, k01, k10, u, naive)
+        mask = (ii == 0) | (ii == q + 2) | (ii > MM)
+        v = jnp.where(mask, one, v)
+
+        if grid_out:
+            # the write-back of step q-2 used this same state slot as
+            # its source; it must complete before we overwrite it
+            @pl.when(q >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    state.at[_ix(vm2_s)],
+                    out_ref.at[_ix(q - 2 + out_offset)],
+                    isem.at[_ix(2 + sp)]).wait()
+        state[vm2_s] = v
+        if grid_out:
+            pltpu.make_async_copy(state.at[_ix(vm2_s)],
+                                  out_ref.at[_ix(q + out_offset)],
+                                  isem.at[_ix(2 + sp)]).start()
 
     def body(b, _):
         bslot = lax.rem(b, jnp.int32(2))
@@ -147,34 +196,27 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem,
         in_copy(b, bslot).wait()
 
         for t in range(T):  # static unroll; slots below are compile-time
-            q = b * T + t
-            vm2_s, vm1_s = t % 2, 1 - (t % 2)
+            if f == 1:
+                q = b * T + t
 
-            @pl.when(q < n_steps)
-            def _():
-                u = ibuf[bslot, t]
-                vm1 = state[vm1_s]
-                k10 = vm1
-                k01 = pltpu.roll(vm1, jnp.int32(1), axis=row_axis)
-                k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=row_axis)
-                v = _scheme(k00, k01, k10, u, naive)
-                mask = (ii == 0) | (ii == q + 2) | (ii > MM)
-                v = jnp.where(mask, one, v)
+                @pl.when(q < n_steps)
+                def _(q=q, t=t):
+                    step(q, ibuf[bslot, t], t % 2, 1 - t % 2, t % 2)
+            else:
+                k = b * T + t
+                for s in range(f):
+                    q = k * f + s
+                    sp = s % 2   # == q % 2 (f even)
 
-                if grid_out:
-                    # the write-back of step q-2 used this same state slot as
-                    # its source; it must complete before we overwrite it
-                    @pl.when(q >= 2)
-                    def _():
-                        pltpu.make_async_copy(
-                            state.at[_ix(vm2_s)],
-                            out_ref.at[_ix(q - 2 + out_offset)],
-                            isem.at[_ix(2 + t % 2)]).wait()
-                state[vm2_s] = v
-                if grid_out:
-                    pltpu.make_async_copy(state.at[_ix(vm2_s)],
-                                          out_ref.at[_ix(q + out_offset)],
-                                          isem.at[_ix(2 + t % 2)]).start()
+                    @pl.when(q < n_steps)
+                    def _(q=q, t=t, s=s, sp=sp):
+                        prev = carry[0] if t == 0 else ibuf[bslot, t - 1]
+                        sel = lax.rem(ii, jnp.int32(f)) <= s
+                        pre = jnp.where(sel, ibuf[bslot, t], prev)
+                        u = pltpu.roll(pre, jnp.int32(1), axis=row_axis)
+                        step(q, u, sp, 1 - sp, sp)
+        if f > 1:
+            carry[0] = ibuf[bslot, T - 1]
         return 0
 
     # int32 loop bounds: under jax_enable_x64 a default (int64) fori index
@@ -359,13 +401,63 @@ def _stack_to_grid(stack, row_axis, MM, NN, B, boundary=1.0, pre=0):
     return K[:B, :, :NN + 1]
 
 
+def _stretch_stream(base3: jnp.ndarray, f: int, dma_batch: int,
+                    row_axis: int, slab):
+    """Row-stretched base-diagonal stream for in-kernel refinement.
+
+    ``base3``: (B, Mb, Nb) base increments ALREADY scaled by ``1/f^2``.
+    Returns a ``(W, *slab)`` stream whose entry ``k`` (offset 0) holds base
+    anti-diagonal ``k`` stretched to the refined row axis:
+    ``d_k[.. i' ..] = base[i'//f, k - i'//f]`` (zero out of range). Built
+    as flat-stride shear at base resolution + row ``repeat`` + one aligned
+    transpose -- all passes touch only base-sized (f^2-smaller) data.
+    """
+    B, Mb, Nb = base3.shape
+    L = slab[row_axis]
+    P_dim = slab[1 - row_axis]
+    R_rows = -(-L // f)                  # f * R_rows >= L
+    V = Mb + Nb                          # diag slots incl. 1 virtual
+    W0 = ceil_to(max(V + dma_batch + 1, Nb + R_rows + 1), LANES)
+    W = W0 - 1
+    # x0[p, a, c] = base[p, a, c] (no row shift; the kernel's roll-by-1
+    # realises the i -> i-1 increment indexing)
+    x0 = jnp.pad(base3, ((0, P_dim - B), (0, R_rows - Mb), (0, W0 - Nb)))
+    flat = x0.reshape(P_dim, R_rows * W0)[:, : R_rows * W]
+    Sb = flat.reshape(P_dim, R_rows, W)  # Sb[p, a, t] = base[p, a, t-a]
+    R = jnp.repeat(Sb, f, axis=1)[:, :L, :]
+    if row_axis == 0:
+        return jnp.transpose(R, (2, 1, 0))   # (W, L, P)
+    return jnp.transpose(R, (2, 0, 1))       # (W, P, L)
+
+
+def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int):
+    """Stream + slab geometry for a solve at ``dyadic_order``.
+
+    Returns ``(sk, n_steps, row_axis, slab, f)``: with ``f > 1`` the
+    stream is the row-stretched base stream (offset 0, ``f^2``x smaller);
+    with ``f == 1`` the plain refined stream (step ``q`` at ``q+IN_OFF``).
+    """
+    f = 2 ** dyadic_order
+    B, Mb, Nb = inc3.shape
+    if f == 1:
+        sk, n_steps, row_axis, slab = _pad_shear(inc3, dma_batch)
+        return sk, n_steps, row_axis, slab, f
+    MM, NN = Mb * f, Nb * f
+    row_axis, slab, _ = _layout(B, MM)
+    base = inc3.astype(jnp.float32) * jnp.float32(1.0 / (f * f))  # exact
+    sk = _stretch_stream(base, f, dma_batch, row_axis, slab)
+    return sk, MM + NN - 1, row_axis, slab, f
+
+
 def _solve_final_one(inc3: jnp.ndarray, naive: bool,
                      dyadic_order: int = 0) -> jnp.ndarray:
-    inc3 = dyadic_refine(inc3, dyadic_order)  # f32 repeat + exact scale
-    B, MM, NN = inc3.shape
-    sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
+    B = inc3.shape[0]
+    sk, n_steps, row_axis, slab, f = _stream_geometry(
+        inc3, dyadic_order, DMA_BATCH)
+    MM = inc3.shape[-2] * f
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
-                               row_axis=row_axis, naive=naive, grid_out=False)
+                               row_axis=row_axis, naive=naive,
+                               grid_out=False, refine=f)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(slab, jnp.float32),
@@ -375,6 +467,7 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
             pltpu.VMEM((2,) + slab, jnp.float32),
             pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1,) + slab, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -384,15 +477,16 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
 
 def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
                     dyadic_order: int = 0) -> jnp.ndarray:
-    inc3 = dyadic_refine(inc3, dyadic_order)  # f32 repeat + exact scale
-    B, MM, NN = inc3.shape
-    sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
+    B = inc3.shape[0]
+    sk, n_steps, row_axis, slab, f = _stream_geometry(
+        inc3, dyadic_order, DMA_BATCH)
+    MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
     # aligned output extent (the fast unshear transposes it to minor), with
     # entry q written at q + 2 so the unshear needs no leading shift
     Tp = ceil_to(n_steps + 2, LANES)
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=True,
-                               out_offset=2)
+                               out_offset=2, refine=f)
     diags = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
@@ -402,6 +496,7 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
             pltpu.VMEM((2,) + slab, jnp.float32),
             pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1,) + slab, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -459,13 +554,14 @@ def _solve_stack_one(inc3: jnp.ndarray, naive: bool,
     ``out_pad``: leading never-written entries in the output stack (the
     fused adjoint's descending window loads need headroom; entry ``q``
     lands at stack position ``q + out_pad``)."""
-    inc3 = dyadic_refine(inc3, dyadic_order)
-    B, MM, NN = inc3.shape
-    sk, n_steps, row_axis, slab = _pad_shear(inc3, DMA_BATCH)
-    Tp = sk.shape[0]
+    B = inc3.shape[0]
+    sk, n_steps, row_axis, slab, f = _stream_geometry(
+        inc3, dyadic_order, DMA_BATCH)
+    MM = inc3.shape[-2] * f
+    Tp = ceil_to(n_steps + 2, LANES)
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=True,
-                               out_offset=out_pad)
+                               out_offset=out_pad, refine=f)
     stack = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Tp + out_pad,) + slab, jnp.float32),
@@ -475,6 +571,7 @@ def _solve_stack_one(inc3: jnp.ndarray, naive: bool,
             pltpu.VMEM((2,) + slab, jnp.float32),
             pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1,) + slab, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

@@ -130,3 +130,27 @@ def test_grad_through_pallas_solver_matches_scan(rng, dyadic_order,
     g_scan = jax.grad(lambda u: solve(u, False, "scan", dyadic_order).sum())(inc)
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_scan),
                                rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("shape,dyadic_order", [
+    ((2, 64, 64), 1),    # MM = 128: L == f * cdiv(L, f) boundary exactly
+    ((2, 63, 65), 1),    # MM + 1 = 127 vs L = 128 (roll tail inside pad)
+    ((1, 7, 33), 2),     # f = 4, asymmetric
+    ((2, 32, 32), 2),    # f = 4, MM = 128 boundary
+])
+def test_stretched_stream_refinement_corners(rng, shape, dyadic_order):
+    """In-kernel dyadic refinement (row-stretched base stream) must match
+    the scan tier at lane-alignment boundaries of the stretch geometry."""
+    from sigkernel_tpu.ops import scan_solver as ss
+    from sigkernel_tpu.utils import dyadic_refine
+
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+    ref = dyadic_refine(inc, dyadic_order)
+    want = np.asarray(ss.solve_final(ref))
+    got = np.asarray(pallas_solver._solve_final_one(
+        inc, False, dyadic_order))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+    wantg = np.asarray(ss.solve_grid(ref))
+    gotg = np.asarray(pallas_solver._solve_grid_one(
+        inc, False, dyadic_order))
+    np.testing.assert_allclose(gotg, wantg, rtol=3e-5, atol=3e-6)
