@@ -161,6 +161,20 @@ check("solve_df (df prep -> df64 kernel) values",
       sk.sig_kernel(sk.RBFKernel(1.0), X64, X64, solver="df",
                     max_batch=None), w, 1e-10)
 
+if not QUICK:
+    # value accuracy AT the benchmark grid (len 1024, dyadic 1): measured
+    # ~1.3-1.5e-10 vs the f64 scan -- the 2-float state's coherent rounding
+    # drift over the 4093-step sweep (exp Taylor order is NOT the limiter:
+    # order 13 measures 1.33e-10, order 10 measures 1.51e-10). Moderate
+    # sizes sit at ~3e-13 (pinned above).
+    Xbv = jnp.asarray(rng.normal(size=(2, 1024, 3)).cumsum(1) / 32)
+    Ybv = jnp.asarray(rng.normal(size=(2, 1024, 3)).cumsum(1) / 32)
+    wv = sk.sig_kernel(sk.RBFKernel(1.0), Xbv, Ybv, dyadic_order=1,
+                       solver="scan", max_batch=None)
+    gv = sk.sig_kernel(sk.RBFKernel(1.0), Xbv, Ybv, dyadic_order=1,
+                       solver="df", max_batch=None)
+    check("df values at benchmark grid (2-float drift bound)", gv, wv, 5e-10)
+
 # ---------------------------------------------------------------------------
 # 6. gradient-accuracy pin at benchmark-like size (VERDICT #7): default TPU
 #    path (df route, fused f32 adjoint) vs the exact f64 scan adjoint

@@ -41,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import scan_solver
-from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, CHUNK_BYTES,
+from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, CHUNK_BYTES, IN_OFF,
                             _ix, _scheme, _chunk_map)
 from ..utils import ceil_to, dyadic_refine
 
@@ -68,7 +68,7 @@ def supported(inc) -> bool:
 
 
 def _stripe_kernel(inc_hbm, bd01_ref, rows_ref, state, ibuf, oreg,
-                   isem, osem, *, MM, naive):
+                   isem, osem, *, MM, naive, n_loop):
     """One stripe sweep, pairs-on-sublanes layout only (slab = (P, L)).
 
     inc_hbm: (Tp, P, L) sheared increments with the north-boundary stream
@@ -76,18 +76,18 @@ def _stripe_kernel(inc_hbm, bd01_ref, rows_ref, state, ibuf, oreg,
     shear's pad row, so the boundary rides the increment DMA for free;
     Mosaic cannot DMA 1-lane slices). bd01_ref: (2, P, 1) VMEM, boundary
     values bd[0], bd[1] for the two initial diagonals.
-    rows_ref: (Tp // LANES, P, LANES) HBM out; lane ``l`` of batch ``c``
+    rows_ref: (n_loop // LANES, P, LANES) HBM out; lane ``l`` of batch ``c``
     holds ``K[MM, q + 2 - MM]`` for ``q = LANES*c + LANES-1 - l`` (bottom
     values are pushed into a right-rolling register at lane 0 and flushed
     whole once per LANES steps -- single-lane DMAs violate Mosaic's lane
     tiling; the XLA side flips lanes back).
-    All Tp steps run (q >= n_steps computes padding garbage that is never
-    read back), keeping the flush cadence exact with no tail logic.
+    All ``n_loop`` (LANES-aligned) steps run (q >= n_steps computes padding
+    garbage that is never read back), keeping the flush cadence exact with
+    no tail logic.
     """
     T = DMA_BATCH
     P, L = state.shape[1], state.shape[2]
-    Tp = inc_hbm.shape[0]
-    n_batches = Tp // T
+    n_batches = n_loop // T
     ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
     jj = lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
     one = jnp.float32(1.0)
@@ -98,8 +98,9 @@ def _stripe_kernel(inc_hbm, bd01_ref, rows_ref, state, ibuf, oreg,
     oreg[...] = jnp.zeros((P, LANES), jnp.float32)
 
     def in_copy(b, slot):
-        return pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
-                                     ibuf.at[_ix(slot)], isem.at[_ix(slot)])
+        return pltpu.make_async_copy(
+            inc_hbm.at[pl.ds(_ix(b * T + IN_OFF), T)],
+            ibuf.at[_ix(slot)], isem.at[_ix(slot)])
 
     in_copy(0, 0).start()
 
@@ -155,7 +156,8 @@ def _stripe_bottom_row(inc_s: jnp.ndarray, bd: jnp.ndarray,
     n_steps = MM + NN - 1
     sk, bd01, (P, L, Tp) = _stripe_io(inc_s, bd)
 
-    kernel = functools.partial(_stripe_kernel, MM=MM, naive=naive)
+    kernel = functools.partial(_stripe_kernel, MM=MM, naive=naive,
+                               n_loop=Tp)
     rows = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((Tp // LANES, P, LANES), jnp.float32),
@@ -205,8 +207,9 @@ def _stripe_kernel_grid(inc_hbm, bd01_ref, out_ref, state, ibuf,
     state[1] = jnp.where(ii == 0, bd01_ref[1], init0)
 
     def in_copy(b, slot):
-        return pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
-                                     ibuf.at[_ix(slot)], isem.at[_ix(slot)])
+        return pltpu.make_async_copy(
+            inc_hbm.at[pl.ds(_ix(b * T + IN_OFF), T)],
+            ibuf.at[_ix(slot)], isem.at[_ix(slot)])
 
     in_copy(0, 0).start()
 
@@ -238,11 +241,11 @@ def _stripe_kernel_grid(inc_hbm, bd01_ref, out_ref, state, ibuf,
                 @pl.when(q >= 2)
                 def _():
                     pltpu.make_async_copy(state.at[_ix(vm2_s)],
-                                          out_ref.at[_ix(q - 2)],
+                                          out_ref.at[_ix(q)],
                                           isem.at[_ix(2 + t % 2)]).wait()
                 state[vm2_s] = v
                 pltpu.make_async_copy(state.at[_ix(vm2_s)],
-                                      out_ref.at[_ix(q)],
+                                      out_ref.at[_ix(q + 2)],
                                       isem.at[_ix(2 + t % 2)]).start()
         return 0
 
@@ -250,12 +253,12 @@ def _stripe_kernel_grid(inc_hbm, bd01_ref, out_ref, state, ibuf,
 
     last = (n_steps - 1) % 2
     pltpu.make_async_copy(state.at[_ix(last)],
-                          out_ref.at[_ix(n_steps - 1)],
+                          out_ref.at[_ix(n_steps + 1)],
                           isem.at[_ix(2 + last)]).wait()
     @pl.when(n_steps >= 2)
     def _():
         pltpu.make_async_copy(state.at[_ix(1 - last)],
-                              out_ref.at[_ix(n_steps - 2)],
+                              out_ref.at[_ix(n_steps)],
                               isem.at[_ix(2 + (1 - last))]).wait()
 
 
@@ -263,22 +266,36 @@ def _stripe_io(inc_s, bd, fill=1.0):
     """Shared stripe input prep: sheared increments with the north-boundary
     stream packed into lane 0 (the shear's pad row), plus the (2, P, 1)
     initial-diagonal boundary values. ``fill`` pads the boundary stream's
-    tail (1 for solution planes, 0 for double-double lo planes)."""
+    tail (1 for solution planes, 0 for double-double lo planes).
+
+    Aligned construction (see ``pallas_solver._pad_shear``): ONE aligned
+    pad/concat realises slab geometry, shear (flat-stride view, stream
+    offset ``IN_OFF``) AND the lane-0 boundary packing -- row 0 of the
+    padded grid IS the shear's pad row, so the boundary values are written
+    there before the view instead of a full-stream ``.set`` copy (which,
+    with the old odd-width shear pad, dominated long-path solves).
+    ``Tp`` in the returned geometry is the kernel's step-loop extent
+    (LANES-aligned for the bottom-row flush cadence), decoupled from the
+    stream's width.
+    """
     B, MM, NN = inc_s.shape
     n_steps = MM + NN - 1
     P = ceil_to(B, SUBLANES)
     L = ceil_to(MM + 1, LANES)
     Tp = ceil_to(n_steps, max(LANES, DMA_BATCH))
 
-    S = scan_solver.shear_rows(inc_s, out_width=Tp)
-    S = jnp.pad(S, ((0, P - B), (1, L - (MM + 1)), (0, 0)))
-    sk = jnp.transpose(S, (2, 0, 1))                      # (Tp, P, L)
-
+    W0 = ceil_to(max(Tp + IN_OFF + 1, NN + L + 1), LANES)
+    W = W0 - 1
     bdp = jnp.pad(bd, ((0, P - B), (0, 0)), constant_values=fill)
-    stream = jnp.pad(bdp[:, 2:], ((0, 0), (0, Tp - (bdp.shape[1] - 2))),
-                     constant_values=fill)                # (P, Tp)
-    sk = sk.at[:, :, 0].set(jnp.transpose(stream, (1, 0)))
-    bd01 = jnp.transpose(bdp[:, :2], (1, 0))[:, :, None]  # (2, P, 1)
+    # row 0: S[p, 0, t] = bd[t + 1] = bd[q + 2] at stream index t = q + 1
+    row0 = jnp.pad(bdp[:, 1:], ((0, 0), (0, W0 - NN)),
+                   constant_values=fill)[:, None, :]       # (P, 1, W0)
+    body = jnp.pad(inc_s, ((0, P - B), (0, L - 1 - MM), (0, W0 - NN)))
+    x0 = jnp.concatenate([row0, body], axis=1)             # (P, L, W0)
+    flat = x0.reshape(P, L * W0)[:, : L * W]
+    sk = jnp.transpose(flat.reshape(P, L, W), (2, 0, 1))   # (W, P, L)
+
+    bd01 = jnp.transpose(bdp[:, :2], (1, 0))[:, :, None]   # (2, P, 1)
     return sk, bd01, (P, L, Tp)
 
 
@@ -294,11 +311,12 @@ def _stripe_grid(inc_s: jnp.ndarray, bd: jnp.ndarray,
     B, MM, NN = inc_s.shape
     n_steps = MM + NN - 1
     sk, bd01, (P, L, Tp) = _stripe_io(inc_s, bd)
+    Tp2 = ceil_to(n_steps + 2, LANES)   # entries at q + 2 (fast unshear)
     kernel = functools.partial(_stripe_kernel_grid, n_steps=n_steps, MM=MM,
                                naive=naive)
     stack = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((Tp, P, L), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Tp2, P, L), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -310,7 +328,7 @@ def _stripe_grid(inc_s: jnp.ndarray, bd: jnp.ndarray,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
     )(sk, bd01)
-    grid = _stack_to_grid(stack, 1, MM, NN, B)
+    grid = _stack_to_grid(stack, 1, MM, NN, B, pre=2)
     return grid.at[:, 0, :].set(bd[:, : NN + 1])
 
 
@@ -390,7 +408,7 @@ def adjoint_blocked(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
 
 def _stripe_kernel_df(inch_hbm, incl_hbm, bd01_ref, rowh_ref, rowl_ref,
                       sh, sl, ibh, ibl, oregh, oregl, isem, osem,
-                      *, MM, naive):
+                      *, MM, naive, n_loop):
     """Double-double stripe sweep (hi/lo planes throughout).
 
     Boundary streams ride lane 0 of the hi/lo increment slabs; bottom rows
@@ -403,8 +421,7 @@ def _stripe_kernel_df(inch_hbm, incl_hbm, bd01_ref, rowh_ref, rowl_ref,
 
     T = DMA_BATCH
     P, L = sh.shape[1], sh.shape[2]
-    Tp = inch_hbm.shape[0]
-    n_batches = Tp // T
+    n_batches = n_loop // T
     ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
     jj = lax.broadcasted_iota(jnp.int32, (P, LANES), 1)
     one = jnp.float32(1.0)
@@ -420,7 +437,7 @@ def _stripe_kernel_df(inch_hbm, incl_hbm, bd01_ref, rowh_ref, rowl_ref,
     oregl[...] = jnp.zeros((P, LANES), jnp.float32)
 
     def in_copies(b, slot):
-        ds = pl.ds(_ix(b * T), T)
+        ds = pl.ds(_ix(b * T + IN_OFF), T)
         return (
             pltpu.make_async_copy(inch_hbm.at[ds], ibh.at[_ix(slot)],
                                   isem.at[_ix(slot)]),
@@ -497,7 +514,8 @@ def _stripe_bottom_row_df(hi_s, lo_s, bd, naive):
     skl, bdl01, _ = _stripe_io(lo_s, bdl, fill=0.0)
     bd01 = jnp.stack([bdh01, bdl01])            # (2, 2, P, 1)
 
-    kernel = functools.partial(_stripe_kernel_df, MM=MM, naive=naive)
+    kernel = functools.partial(_stripe_kernel_df, MM=MM, naive=naive,
+                               n_loop=Tp)
     rows_h, rows_l = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((Tp // LANES, P, LANES),

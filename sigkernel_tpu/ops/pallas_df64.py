@@ -11,10 +11,14 @@ error-free transformations:
   12-bit halves are exact in f32, so the algorithm is correct whether or not
   the compiler contracts to FMA.
 
-Over the ~4k sequential wavefront steps of the benchmark grid the accumulated
-error stays ~1e-12 relative, meeting the 1e-10 rtol target against the f64
-oracle while running on the f32 VPU (~15x the plain-f32 op count instead of
-XLA's much slower integer-emulated f64).
+Measured against the f64 scan oracle on hardware: ~3e-13 relative at
+moderate grids (the validation pin), growing to ~1.3-1.5e-10 at the full
+benchmark grid (2046^2, 4093 steps) from coherent rounding drift of the
+2-float state over the sweep -- the practical accuracy limit of
+double-float at this depth, independent of the increment prep's accuracy
+(exp Taylor order 13 vs 10 moves it by <0.2e-10). All of this runs on the
+f32 VPU (~15x the plain-f32 op count instead of XLA's much slower
+integer-emulated f64).
 
 Structure mirrors :mod:`sigkernel_tpu.ops.pallas_solver` (same skewed
 streaming, ping-pong state, batched DMA); inputs/outputs are split/combined

@@ -424,10 +424,13 @@ def _stretch_stream(base3: jnp.ndarray, f: int, dma_batch: int,
     x0 = jnp.pad(base3, ((0, P_dim - B), (0, R_rows - Mb), (0, W0 - Nb)))
     flat = x0.reshape(P_dim, R_rows * W0)[:, : R_rows * W]
     Sb = flat.reshape(P_dim, R_rows, W)  # Sb[p, a, t] = base[p, a, t-a]
-    R = jnp.repeat(Sb, f, axis=1)[:, :L, :]
+    # transpose BEFORE the f-fold row repeat: the transpose then moves
+    # base-sized data and the repeat writes the stretched stream once
     if row_axis == 0:
-        return jnp.transpose(R, (2, 1, 0))   # (W, L, P)
-    return jnp.transpose(R, (2, 0, 1))       # (W, P, L)
+        R = jnp.transpose(Sb, (2, 1, 0))     # (W, R_rows, P)
+        return jnp.repeat(R, f, axis=1)[:, :L, :]
+    R = jnp.transpose(Sb, (2, 0, 1))         # (W, P, R_rows)
+    return jnp.repeat(R, f, axis=2)[:, :, :L]
 
 
 def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int):

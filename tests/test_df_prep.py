@@ -12,13 +12,17 @@ from conftest import make_paths
 
 
 def test_df32_exp_accuracy(rng):
+    # the pipeline contract: RBF exponents are <= 0, G in [0, 1]; absolute
+    # accuracy at that scale (plus ~1e-13 relative everywhere, the order-10
+    # Taylor tail) is what the 1e-10 end-to-end budget needs -- see the
+    # _EXP_ORDER note in df32.py
     x = jnp.asarray(rng.uniform(-80, 3, size=(4000,)))
     got = np.asarray(df32.to_f64(df32.exp_(df32.from_f64(x))))
     want = np.exp(np.asarray(x))
-    # absolute at working scale (G in [0, 1]) is the pipeline requirement
-    assert np.abs(got - want).max() < 1e-12
+    neg = np.asarray(x) <= 0
+    assert np.abs(got - want)[neg].max() < 1e-12
     m = want > 1e-6
-    assert (np.abs(got - want)[m] / want[m]).max() < 1e-12
+    assert (np.abs(got - want)[m] / want[m]).max() < 5e-13
 
 
 def test_df32_cancelling_add(rng):
