@@ -206,6 +206,169 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
                               isem.at[_ix(4 + s)]).wait()
 
 
+def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
+                             ibuf, fbuf, acc, obuf, isem, carry,
+                             *, n_steps, MM, NN, L_f, naive, pad_f, refine):
+    """Transposed-reverse sweep + in-flight product + in-kernel dyadic
+    collapse of the cotangent to BASE anti-diagonals (refine = f > 1 only).
+
+    Instead of streaming every refined cotangent diagonal (the refined
+    stack is the backward's largest HBM pass), per-lane partial block sums
+    are kept in two rotating accumulator slabs: the product at refined
+    step ``q`` belongs to base diagonal ``kb = (i0)//f + (j0)//f`` which is
+    ``k = q//f`` on lanes ``i0 mod f <= q mod f`` and ``k-1`` elsewhere
+    (the same parity select as the input refinement, with the product
+    stored at lane ``i0 = i-1`` so the final lane-block reduction is
+    f-aligned). Since emissions run ``q`` DESCENDING, base diagonal ``k``
+    is complete right after the step with ``q mod f == 0``; its
+    accumulator (slot ``k mod 2`` -- compile-time per unrolled position)
+    is flushed to ``out_hbm`` entry ``k + 2`` and zeroed for diagonal
+    ``k-2``. The XLA side then does an f-aligned lane-block sum, a base
+    unshear, and the exact ``1/f^2`` scale -- all on f^2-smaller data.
+    ``out_hbm`` needs 4 slots of headroom past entry ``V+1`` for the
+    wait-chain seed copies (entries V+2, V+3; V = n_steps//f + 1).
+    """
+    P = state.shape[1]
+    L_r = state.shape[2]
+    f = refine
+    TBf = TB * f
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, TB)
+    ii = lax.broadcasted_iota(jnp.int32, (P, L_r), 1)
+    iif = lax.broadcasted_iota(jnp.int32, (P, L_f), 1)
+    one = jnp.float32(1.0)
+    zslab = jnp.zeros((P, L_f), jnp.float32)
+    A = (n_steps - 3) // f      # k(q) = A - m - c, m = b*TB + t
+    r0 = (n_steps - 3) % f      # q mod f == (r0 - s_i) mod f
+
+    state[0] = jnp.ones((P, L_r), jnp.float32)
+    state[1] = jnp.ones((P, L_r), jnp.float32)
+    acc[0] = zslab
+    acc[1] = zslab
+
+    def flush(slot, k_entry):
+        """Emit acc[slot] as base-stack entry ``k_entry`` (+2 offset)."""
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).wait()
+        obuf[slot] = acc[slot]
+        acc[slot] = zslab
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).start()
+
+    def accumulate(prod, q_mod_f, k_par):
+        sel = lax.rem(iif, jnp.int32(f)) <= q_mod_f
+        acc[k_par] = acc[k_par] + jnp.where(sel, prod, 0.0)
+        acc[1 - k_par] = acc[1 - k_par] + jnp.where(sel, 0.0, prod)
+
+    # seed the per-slot wait chains (entries V+2, V+3 are never read)
+    V = n_slots + 1
+    obuf[0] = zslab
+    obuf[1] = zslab
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(V + 2)],
+                          isem.at[_ix(4)]).start()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(V + 3)],
+                          isem.at[_ix(5)]).start()
+
+    # Pre-loop: diagonals q1 = T-1, q2 = T-2 have A2 = 1 (reversed-solve
+    # boundary); their products come straight from the forward stack
+    pre1 = pltpu.make_async_copy(fstk_hbm.at[_ix(n_steps - 3 + pad_f)],
+                                 fbuf.at[_ix(0), _ix(0)], isem.at[_ix(2)])
+    pre2 = pltpu.make_async_copy(fstk_hbm.at[_ix(n_steps - 4 + pad_f)],
+                                 fbuf.at[_ix(0), _ix(1)], isem.at[_ix(3)])
+    pre1.start()
+    pre2.start()
+    pre1.wait()
+    pre2.wait()
+    gv = g_ref[...]
+    q1, q2 = n_steps - 1, n_steps - 2
+    k1, k2 = q1 // f, q2 // f
+    accumulate(fbuf[0, 0] * gv, q1 % f, k1 % 2)
+    if q1 % f == 0:
+        flush(k1 % 2, jnp.int32(k1))
+    accumulate(fbuf[0, 1] * gv, q2 % f, k2 % 2)
+    # q2 % f == f-1 always (T-2 = fV - 3): never a flush position
+
+    def in_copies(b, slot):
+        E_b = n_steps - 4 - (b + 1) * TBf + pad_f
+        return (
+            pltpu.make_async_copy(rinc_hbm.at[pl.ds(_ix(b * TB), TB)],
+                                  ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
+            pltpu.make_async_copy(fstk_hbm.at[pl.ds(_ix(E_b), TBf)],
+                                  fbuf.at[_ix(slot)], isem.at[_ix(2 + slot)]),
+        )
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def step(q_r, u, bslot, fb_idx, sp, s_i, t):
+        vm2_s, vm1_s = sp, 1 - sp
+        vm1 = state[vm1_s]
+        k10 = vm1
+        k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+        k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
+        v = _scheme(k00, k01, k10, u, naive)
+        v = jnp.where((ii == 0) | (ii == q_r + 2) | (ii > NN),
+                      one, v)
+        state[vm2_s] = v
+
+        q = n_steps - 3 - q_r
+
+        @pl.when(q >= 0)
+        def _():
+            # product stored at lane i-1: A2 shift drops by one, the
+            # forward entry needs no roll at all
+            s = jnp.int32(MM - 3 - q_r) % jnp.int32(L_r)
+            A2 = pltpu.roll(v, s, axis=1)[:, :L_f]
+            F = fbuf[bslot, fb_idx]                # S_f[q - 2]
+            F = jnp.where(q >= 2, F, one)          # fwd boundary
+            prod = F * A2 * g_ref[...]
+
+            c = 1 if s_i > r0 else 0
+            k_par = (A + t + c) % 2                # k = A - m - c
+            accumulate(prod, (r0 - s_i) % f, k_par)
+            if s_i == r0:                          # q % f == 0: k complete
+                k_dyn = _ix(A) - lax.div(_ix(q_r), jnp.int32(f))
+                flush(k_par, k_dyn)
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        for t in range(TB):
+            for s_i in range(f):
+                q_r = (b * TB + t) * f + s_i
+                sp = s_i % 2   # == q_r % 2 (f even)
+
+                @pl.when(q_r < n_steps)
+                def _(q_r=q_r, t=t, s_i=s_i, sp=sp):
+                    prev = carry[0] if t == 0 else ibuf[bslot, t - 1]
+                    sel = lax.rem(ii, jnp.int32(f)) <= s_i
+                    pre = jnp.where(sel, ibuf[bslot, t], prev)
+                    u = pltpu.roll(pre, jnp.int32(1), axis=1)
+                    step(q_r, u, bslot, TBf - 1 - (t * f + s_i), sp,
+                         s_i, t)
+        carry[0] = ibuf[bslot, TB - 1]
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    # drain both flush chains (shapes identical; the index is irrelevant
+    # to the semaphore wait)
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(2)],
+                          isem.at[_ix(4)]).wait()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(3)],
+                          isem.at[_ix(5)]).wait()
+
+
 def supported(MM: int, NN: int) -> bool:
     """Both refined sides must fit the VMEM diagonal bound."""
     return (max(MM, NN) + 1 <= MAX_ROWS) and MM + NN - 1 >= 4
@@ -288,5 +451,83 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
 
         grid = _stack_to_grid(cot, 1, MM, NN, B, pre=2)    # (B, MM+1, NN+1)
         return grid[:, 1:, 1:]
+
+    return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)
+
+
+def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
+                            dyadic_order: int = 0) -> jnp.ndarray:
+    """Increment cotangent COLLAPSED to base resolution ``(B, M-1, N-1)``.
+
+    With ``dyadic_order in (1, 2)`` on a supported geometry this runs the
+    in-kernel collapse product kernel -- the refined cotangent stack (the
+    backward's largest HBM pass) never exists; the emitted base stack is
+    ``f``x smaller and the unshear runs on base-sized data. Otherwise it
+    falls back to collapsing :func:`adjoint_fused`'s refined output.
+    """
+    from .solve import _collapse_refined
+
+    f = 2 ** dyadic_order
+    inc32 = inc3.astype(jnp.float32)
+    B0, Mb, Nb = inc32.shape
+    MM, NN = Mb * f, Nb * f
+    if f == 1 or f > 4 or not supported(MM, NN):
+        KK = adjoint_fused(inc3, g, naive, dyadic_order)
+        return _collapse_refined(KK, dyadic_order, jnp.float32)
+
+    T = MM + NN - 1
+    pad_f = _pad_f(f)
+    chunk = min(pair_chunk(MM, NN, planes=2), PS_LAYOUT_MAX_B)
+
+    def one(args):
+        from .pallas_solver import _stretch_stream
+
+        inc_c, g_c = args
+        B = inc_c.shape[0]
+        P = ceil_to(B, SUBLANES)
+        L_f = ceil_to(MM + 1, LANES)
+        L_r = ceil_to(NN + 1, LANES)
+
+        S_f = _solve_stack_one(inc_c, naive, dyadic_order, out_pad=pad_f)
+        assert S_f.shape[1:] == (P, L_f), "fused adjoint needs P-S layout"
+
+        rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
+        rb = rbase * jnp.float32(1.0 / (f * f))            # (B, Nb, Mb)
+        sk = _stretch_stream(rb, f, TB, 1, (P, L_r))
+
+        gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
+
+        V = -(-T // f) + 1
+        Tp_out = ceil_to(V + 4, LANES)
+        kernel = functools.partial(_product_collapse_kernel, n_steps=T,
+                                   MM=MM, NN=NN, L_f=L_f, naive=naive,
+                                   pad_f=pad_f, refine=f)
+        cot_b = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Tp_out, P, L_f), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, P, L_r), jnp.float32),
+                pltpu.VMEM((2, TB, P, L_r), jnp.float32),
+                pltpu.VMEM((2, TB * f, P, L_f), jnp.float32),
+                pltpu.VMEM((2, P, L_f), jnp.float32),
+                pltpu.VMEM((2, P, L_f), jnp.float32),
+                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.VMEM((1, P, L_r), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(sk, S_f, gp)
+
+        # f-aligned lane-block sum (products live at lane i-1), base
+        # unshear (entry kb at kb + 2: flat-stride, tail pad only), scale
+        Ds = cot_b[:, :, : f * Mb].reshape(Tp_out, P, Mb, f).sum(-1)
+        DT = jnp.transpose(Ds, (1, 2, 0))                  # (P, Mb, Tp_out)
+        flat = jnp.pad(DT.reshape(P, Mb * Tp_out), ((0, 0), (0, Mb)))
+        K = flat.reshape(P, Mb, Tp_out + 1)[:, :, 2: 2 + Nb]
+        return K[:B] * jnp.float32(1.0 / (f * f))
 
     return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)

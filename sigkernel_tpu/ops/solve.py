@@ -183,12 +183,13 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
     if s in ("pallas", "pallas_df64") and not (
             s == "pallas_df64" and grad_solver == "df64"):
         # fused adjoint: the reverse sweep multiplies the forward stack
-        # in-flight (falls back to the sheared-space adjoint_dd for
+        # in-flight and collapses the cotangent to base resolution
+        # in-kernel (falls back to the sheared-space adjoint_dd for
         # rectangles whose longer side exceeds VMEM); f32 backward, see
         # module doc
-        KK = pallas_adjoint.adjoint_fused(inc, g, naive=naive,
-                                          dyadic_order=dyadic_order)
-        return (_collapse_refined(KK, dyadic_order, inc.dtype),)
+        ct = pallas_adjoint.adjoint_fused_collapsed(
+            inc, g, naive=naive, dyadic_order=dyadic_order)
+        return (ct.astype(inc.dtype),)
     if s == "pallas_blocked":
         # striped adjoint: stripe-grid recompute pairs; returns the
         # cotangent already collapsed to base resolution (f32 backward)
@@ -258,9 +259,8 @@ def _solve_df_bwd(naive, dyadic_order, dd_df, g):
     probe = jax.ShapeDtypeStruct(
         hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
     if _df_supported(hi, dyadic_order):
-        KK = pallas_adjoint.adjoint_fused(hi, g, naive=naive,
-                                          dyadic_order=dyadic_order)
-        ct = _collapse_refined(KK, dyadic_order, jnp.float32)
+        ct = pallas_adjoint.adjoint_fused_collapsed(
+            hi, g, naive=naive, dyadic_order=dyadic_order)
     elif pallas_blocked.supported(probe):
         ct = pallas_blocked.adjoint_blocked(hi, g, naive=naive,
                                             dyadic_order=dyadic_order)

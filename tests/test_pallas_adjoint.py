@@ -73,3 +73,23 @@ def test_fused_adjoint_rect_fallback(rng, monkeypatch):
     got = np.asarray(pallas_adjoint.adjoint_fused(inc, g, False))
     want = _oracle_cot(inc, g, False, 0)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("dyadic_order", [1, 2])
+@pytest.mark.parametrize("shape", [(2, 6, 6), (1, 5, 9), (3, 9, 5),
+                                   (2, 64, 64)])
+def test_adjoint_fused_collapsed_matches_refined(rng, shape, dyadic_order):
+    """In-kernel base collapse == collapse of the refined fused adjoint."""
+    from sigkernel_tpu.ops import pallas_adjoint
+    from sigkernel_tpu.ops.solve import _collapse_refined
+
+    B = shape[0]
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    got = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=dyadic_order))
+    KK = pallas_adjoint.adjoint_fused(inc, g, naive=False,
+                                      dyadic_order=dyadic_order)
+    want = np.asarray(_collapse_refined(KK, dyadic_order, jnp.float32))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
