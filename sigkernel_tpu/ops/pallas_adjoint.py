@@ -455,8 +455,21 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)
 
 
+def stack_shareable(B: int, Mb: int, Nb: int, dyadic_order: int) -> bool:
+    """Can a forward-emitted hi stack drive the collapsed adjoint? Needs
+    the in-kernel-collapse geometry (f in (2, 4), both sides in VMEM,
+    pairs-on-sublanes) and a single pair chunk (the stack is a residual)."""
+    f = 2 ** dyadic_order
+    MM, NN = Mb * f, Nb * f
+    if f not in (2, 4) or not supported(MM, NN) or MM + 1 > MAX_ROWS:
+        return False
+    chunk = min(pair_chunk(MM, NN, planes=2), PS_LAYOUT_MAX_B)
+    return B <= chunk
+
+
 def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
-                            dyadic_order: int = 0) -> jnp.ndarray:
+                            dyadic_order: int = 0,
+                            fwd_stack=None) -> jnp.ndarray:
     """Increment cotangent COLLAPSED to base resolution ``(B, M-1, N-1)``.
 
     With ``dyadic_order in (1, 2)`` on a supported geometry this runs the
@@ -464,6 +477,11 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     backward's largest HBM pass) never exists; the emitted base stack is
     ``f``x smaller and the unshear runs on base-sized data. Otherwise it
     falls back to collapsing :func:`adjoint_fused`'s refined output.
+
+    ``fwd_stack``: an optional precomputed forward diagonal stack (entry q
+    at q + ``_pad_f(f)``; e.g. the df64 forward's f32-rounded hi stack) --
+    the backward then skips its own forward re-solve. Caller must have
+    checked :func:`stack_shareable`.
     """
     from .solve import _collapse_refined
 
@@ -472,12 +490,14 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     B0, Mb, Nb = inc32.shape
     MM, NN = Mb * f, Nb * f
     if f == 1 or f > 4 or not supported(MM, NN):
+        assert fwd_stack is None
         KK = adjoint_fused(inc3, g, naive, dyadic_order)
         return _collapse_refined(KK, dyadic_order, jnp.float32)
 
     T = MM + NN - 1
     pad_f = _pad_f(f)
     chunk = min(pair_chunk(MM, NN, planes=2), PS_LAYOUT_MAX_B)
+    assert fwd_stack is None or B0 <= chunk
 
     def one(args):
         from .pallas_solver import _stretch_stream
@@ -488,7 +508,11 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         L_f = ceil_to(MM + 1, LANES)
         L_r = ceil_to(NN + 1, LANES)
 
-        S_f = _solve_stack_one(inc_c, naive, dyadic_order, out_pad=pad_f)
+        if fwd_stack is not None:
+            S_f = fwd_stack
+        else:
+            S_f = _solve_stack_one(inc_c, naive, dyadic_order,
+                                   out_pad=pad_f)
         assert S_f.shape[1:] == (P, L_f), "fused adjoint needs P-S layout"
 
         rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)

@@ -43,13 +43,18 @@ def supported(inc) -> bool:
 
 
 def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
-                  kst, dst, sst, ibu, ibd, ibs, isem,
-                  *, n_steps, MM, row_axis):
+                  kst, dst, sst, ibu, ibd, ibs, isem, carry,
+                  *, n_steps, MM, row_axis, refine=1):
     """Triple-state wavefront (higher-order scheme for K, coupled
-    product-rule recurrences for the derivative states)."""
+    product-rule recurrences for the derivative states). ``refine > 1``
+    consumes row-stretched base streams (select + roll per step + a carry
+    of the previous diagonal; see pallas_solver._wavefront_kernel)."""
     T = DMA_BATCH
+    f = refine
     slab = kst.shape[1:]
-    n_batches = pl.cdiv(n_steps, T)
+    n_slots = pl.cdiv(n_steps, f) if f > 1 else n_steps
+    n_batches = pl.cdiv(n_slots, T)
+    in_off = IN_OFF if f == 1 else 0
     ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
@@ -62,7 +67,7 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
     sst[1] = jnp.zeros(slab, jnp.float32)
 
     def in_copies(b, slot):
-        ds = pl.ds(_ix(b * T + IN_OFF), T)
+        ds = pl.ds(_ix(b * T + in_off), T)
         return (
             pltpu.make_async_copy(u_hbm.at[ds],
                                   ibu.at[_ix(slot)], isem.at[_ix(slot)]),
@@ -89,15 +94,7 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
         for c in in_copies(b, bslot):
             c.wait()
 
-        for t in range(T):
-            q = b * T + t
-            vm2, vm1 = t % 2, 1 - (t % 2)
-
-            @pl.when(q < n_steps)
-            def _():
-                u = ibu[bslot, t]
-                ud = ibd[bslot, t]
-                us = ibs[bslot, t]
+        def step(q, u, ud, us, vm2, vm1):
                 k10, k01, k00 = kst[vm1], roll(kst[vm1]), roll(kst[vm2])
                 d10, d01, d00 = dst[vm1], roll(dst[vm1]), roll(dst[vm2])
                 s10, s01, s00 = sst[vm1], roll(sst[vm1]), roll(sst[vm2])
@@ -121,6 +118,37 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
                 kst[vm2] = jnp.where(bnd, one, k)
                 dst[vm2] = jnp.where(bnd, zero, d)
                 sst[vm2] = jnp.where(bnd, zero, s)
+
+        for t in range(T):
+            if f == 1:
+                q = b * T + t
+
+                @pl.when(q < n_steps)
+                def _(q=q, t=t):
+                    step(q, ibu[bslot, t], ibd[bslot, t], ibs[bslot, t],
+                         t % 2, 1 - t % 2)
+            else:
+                kk = b * T + t
+                for s_i in range(f):
+                    q = kk * f + s_i
+                    sp = s_i % 2   # == q % 2 (f even)
+
+                    @pl.when(q < n_steps)
+                    def _(q=q, t=t, s_i=s_i, sp=sp):
+                        sel = lax.rem(ii, jnp.int32(f)) <= s_i
+
+                        def take(ib, ci):
+                            prev = carry[ci] if t == 0 else ib[bslot, t - 1]
+                            pre = jnp.where(sel, ib[bslot, t], prev)
+                            return pltpu.roll(pre, jnp.int32(1),
+                                              axis=row_axis)
+
+                        step(q, take(ibu, 0), take(ibd, 1), take(ibs, 2),
+                             sp, 1 - sp)
+        if f > 1:
+            carry[0] = ibu[bslot, T - 1]
+            carry[1] = ibd[bslot, T - 1]
+            carry[2] = ibs[bslot, T - 1]
         return 0
 
     lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
@@ -131,14 +159,26 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
     outs_ref[...] = sst[last]
 
 
-def _solve_one(incs, naive_unused=None):
+def _solve_one(incs, dyadic_order=0):
+    from .pallas_solver import _layout, _stretch_stream
+
     u3, ud3, us3 = incs
-    B, MM, NN = u3.shape
-    sku, n_steps, row_axis, slab = _pad_shear(u3, DMA_BATCH)
-    skd, _, _, _ = _pad_shear(ud3, DMA_BATCH)
-    sks, _, _, _ = _pad_shear(us3, DMA_BATCH)
+    f = 2 ** dyadic_order
+    B, Mb, Nb = u3.shape
+    MM, NN = Mb * f, Nb * f
+    n_steps = MM + NN - 1
+    if f == 1:
+        sku, n_steps, row_axis, slab = _pad_shear(u3, DMA_BATCH)
+        skd, _, _, _ = _pad_shear(ud3, DMA_BATCH)
+        sks, _, _, _ = _pad_shear(us3, DMA_BATCH)
+    else:
+        row_axis, slab, _ = _layout(B, MM)
+        sc = jnp.float32(1.0 / (f * f))
+        sku = _stretch_stream(u3 * sc, f, DMA_BATCH, row_axis, slab)
+        skd = _stretch_stream(ud3 * sc, f, DMA_BATCH, row_axis, slab)
+        sks = _stretch_stream(us3 * sc, f, DMA_BATCH, row_axis, slab)
     kernel = functools.partial(_deriv_kernel, n_steps=n_steps, MM=MM,
-                               row_axis=row_axis)
+                               row_axis=row_axis, refine=f)
     outk, outd, outs = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),) * 3,
@@ -152,6 +192,7 @@ def _solve_one(incs, naive_unused=None):
             pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
             pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
             pltpu.SemaphoreType.DMA((6,)),
+            pltpu.VMEM((3,) + slab, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
@@ -161,21 +202,25 @@ def _solve_one(incs, naive_unused=None):
             _extract_final(outs, row_axis, MM, B))
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("dyadic_order",))
 def solve_derivatives_final(inc: jnp.ndarray, inc_d: jnp.ndarray,
-                            inc_dd: jnp.ndarray):
-    """Fused Pallas triple solve on *refined* increment grids.
+                            inc_dd: jnp.ndarray, dyadic_order: int = 0):
+    """Fused Pallas triple solve.
 
-    ``inc``/``inc_d``/``inc_dd``: (..., MM, NN). Returns three arrays with
+    ``inc``/``inc_d``/``inc_dd``: (..., M-1, N-1) *base* increment grids,
+    refined in-kernel by ``2^dyadic_order`` (pass refined grids with
+    ``dyadic_order=0`` for the legacy contract). Returns three arrays with
     the batch shape (final corners of K, K_diff, K_diffdiff), f32.
     """
     batch_shape = inc.shape[:-2]
-    MM, NN = inc.shape[-2], inc.shape[-1]
+    f = 2 ** dyadic_order
+    Mb, Nb = inc.shape[-2], inc.shape[-1]
+    MM, NN = Mb * f, Nb * f
     import math
     B = math.prod(batch_shape)
 
     def flat(a):
-        return a.reshape((B, MM, NN)).astype(jnp.float32)
+        return a.reshape((B, Mb, Nb)).astype(jnp.float32)
 
     u3, ud3, us3 = flat(inc), flat(inc_d), flat(inc_dd)
     if MM + 1 > MAX_ROWS:  # transpose covariance (01/10-symmetric updates)
@@ -183,6 +228,7 @@ def solve_derivatives_final(inc: jnp.ndarray, inc_d: jnp.ndarray,
         MMs, NNs = NN, MM
     else:
         MMs, NNs = MM, NN
-    outs = _chunk_map(_solve_one, (u3, ud3, us3),
-                      pair_chunk(MMs, NNs, planes=3))
+    outs = _chunk_map(
+        functools.partial(_solve_one, dyadic_order=dyadic_order),
+        (u3, ud3, us3), pair_chunk(MMs, NNs, planes=3))
     return tuple(o.reshape(batch_shape) for o in outs)

@@ -167,13 +167,22 @@ def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
 # Kernel
 # ---------------------------------------------------------------------------
 
-def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
+def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                          sh_ref, sl_ref, ibh, ibl, isem, carryh, carryl,
                          *, n_steps, MM, row_axis, naive, grid_out,
-                         out_offset=0, refine=1):
+                         out_offset=0, refine=1, hi_stack=False):
     """Double-double wavefront; ``refine > 1`` consumes the row-stretched
     base stream (select + roll per step; see
-    ``pallas_solver._wavefront_kernel`` for the refinement contract)."""
+    ``pallas_solver._wavefront_kernel`` for the refinement contract).
+
+    Output modes (``stk_ref`` is a small dummy unless noted):
+    - default: final hi/lo value slabs in VMEM;
+    - ``grid_out``: hi/lo diagonal stacks in HBM (entry q at q+out_offset);
+    - ``hi_stack``: final hi/lo value slabs PLUS the hi plane's diagonal
+      stack streamed to ``stk_ref`` (entry q at q+out_offset). The
+      f32-rounded-from-df64 stack is exactly what the fused adjoint
+      consumes, so a fwd+bwd step reuses the forward sweep instead of
+      re-solving."""
     T = DMA_BATCH
     f = refine
     slab = sh_ref.shape[1:]
@@ -223,6 +232,13 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
                     sl_ref.at[_ix(vm2)],
                     outl_ref.at[_ix(q - 2 + out_offset)],
                     isem.at[_ix(6 + sp)]).wait()
+        if hi_stack:
+            @pl.when(q >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    sh_ref.at[_ix(vm2)],
+                    stk_ref.at[_ix(q - 2 + out_offset)],
+                    isem.at[_ix(4 + sp)]).wait()
         sh_ref[vm2] = vh
         sl_ref[vm2] = vl
         if grid_out:
@@ -232,6 +248,10 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
             pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
                                   outl_ref.at[_ix(q + out_offset)],
                                   isem.at[_ix(6 + sp)]).start()
+        if hi_stack:
+            pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
+                                  stk_ref.at[_ix(q + out_offset)],
+                                  isem.at[_ix(4 + sp)]).start()
 
     def body(b, _):
         bslot = lax.rem(b, jnp.int32(2))
@@ -296,6 +316,16 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
                                   outl_ref.at[_ix(n_steps - 2 + out_offset)],
                                   isem.at[_ix(6 + (1 - last))]).wait()
     else:
+        if hi_stack:
+            pltpu.make_async_copy(sh_ref.at[_ix(last)],
+                                  stk_ref.at[_ix(n_steps - 1 + out_offset)],
+                                  isem.at[_ix(4 + last)]).wait()
+            @pl.when(n_steps >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    sh_ref.at[_ix(1 - last)],
+                    stk_ref.at[_ix(n_steps - 2 + out_offset)],
+                    isem.at[_ix(4 + (1 - last))]).wait()
         outh_ref[...] = sh_ref[last]
         outl_ref[...] = sl_ref[last]
 
@@ -359,28 +389,41 @@ def _df_scratch(slab):
 
 
 def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
-                        dyadic_order: int = 0) -> jnp.ndarray:
+                        dyadic_order: int = 0, stack_pad=None):
+    """Final-corner df64 solve; with ``stack_pad`` also returns the hi
+    plane's diagonal stack (entry q at q + stack_pad) for adjoint reuse."""
     B = hi3.shape[0]
     skh, skl, n_steps, row_axis, slab, f = _pad_skew_components(
         hi3, lo3, dyadic_order)
     MM = hi3.shape[-2] * f
+    hi_stack = stack_pad is not None
+    if hi_stack:
+        Tp = ceil_to(n_steps + 2, LANES) + stack_pad
+        stk_shape, stk_spec = (Tp,) + slab, pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        stk_shape = (1, 8, LANES)
+        stk_spec = pl.BlockSpec(memory_space=pl.ANY)
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive,
-                               grid_out=False, refine=f)
-    outh, outl = pl.pallas_call(
+                               grid_out=False, refine=f, hi_stack=hi_stack,
+                               out_offset=stack_pad if hi_stack else 0)
+    outh, outl, stk = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
-                   jax.ShapeDtypeStruct(slab, jnp.float32)),
+                   jax.ShapeDtypeStruct(slab, jnp.float32),
+                   jax.ShapeDtypeStruct(stk_shape, jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   stk_spec),
         scratch_shapes=_df_scratch(slab),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(skh, skl)
     h = _extract_final(outh, row_axis, MM, B)
     l = _extract_final(outl, row_axis, MM, B)
-    return h.astype(jnp.float64) + l.astype(jnp.float64)
+    val = h.astype(jnp.float64) + l.astype(jnp.float64)
+    return (val, stk) if hi_stack else val
 
 
 def _solve_final_one(inc3: jnp.ndarray, naive: bool,
@@ -398,12 +441,14 @@ def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive, grid_out=True,
                                out_offset=2, refine=f)
-    diag_h, diag_l = pl.pallas_call(
+    diag_h, diag_l, _ = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
-                   jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32)),
+                   jax.ShapeDtypeStruct((Tp,) + slab, jnp.float32),
+                   jax.ShapeDtypeStruct((1, 8, LANES), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
         out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=_df_scratch(slab),
         compiler_params=pltpu.CompilerParams(
@@ -473,6 +518,29 @@ def solve_final_df(hi: jnp.ndarray, lo: jnp.ndarray, naive: bool = False,
         lambda c: _solve_final_one_df(c[0], c[1], naive, dyadic_order),
         (hi3, lo3), pair_chunk(MM, NN, planes=2))
     return out.reshape(batch_shape)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("naive", "dyadic_order", "stack_pad"))
+def solve_final_df_stack(hi: jnp.ndarray, lo: jnp.ndarray,
+                         naive: bool = False, dyadic_order: int = 0,
+                         stack_pad: int = 8):
+    """Df64 final-corner solve that ALSO emits the hi plane's diagonal
+    stack (entry q at q + stack_pad) for the fused adjoint to consume --
+    one sweep serves both the forward value and the backward's recompute.
+
+    Single-launch only (the caller gates on batch <= pair chunk, no
+    transpose, pairs-on-sublanes). Returns ``(values (B,), stack)``.
+    """
+    import math
+
+    batch_shape = hi.shape[:-2]
+    B = math.prod(batch_shape)
+    hi3 = hi.reshape((B,) + hi.shape[-2:])
+    lo3 = lo.reshape((B,) + lo.shape[-2:])
+    val, stk = _solve_final_one_df(hi3, lo3, naive, dyadic_order,
+                                   stack_pad=stack_pad)
+    return val.reshape(batch_shape), stk
 
 
 @functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))

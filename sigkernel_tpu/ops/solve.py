@@ -247,20 +247,39 @@ def _solve_df_flat(dd_df, naive: bool, dyadic_order: int):
     return _solve_df_final(dd_df, naive, dyadic_order)
 
 
-def _solve_df_fwd(dd_df, naive, dyadic_order):
-    return _solve_df_final(dd_df, naive, dyadic_order), dd_df
-
-
-def _solve_df_bwd(naive, dyadic_order, dd_df, g):
+def _df_stack_gate(hi, dyadic_order: int) -> bool:
+    """Share the df64 forward's hi stack with the backward? (Both the df
+    tier and the collapse-adjoint geometry must apply; static decision.)"""
     from . import pallas_adjoint
 
+    B, Mb, Nb = hi.shape
+    return (_df_supported(hi, dyadic_order)
+            and pallas_adjoint.stack_shareable(B, Mb, Nb, dyadic_order))
+
+
+def _solve_df_fwd(dd_df, naive, dyadic_order):
+    hi, lo = dd_df
+    if _df_stack_gate(hi, dyadic_order):
+        from . import pallas_adjoint
+
+        val, stk = pallas_df64.solve_final_df_stack(
+            hi, lo, naive=naive, dyadic_order=dyadic_order,
+            stack_pad=pallas_adjoint._pad_f(2 ** dyadic_order))
+        return val, (dd_df, stk)
+    return _solve_df_final(dd_df, naive, dyadic_order), (dd_df, None)
+
+
+def _solve_df_bwd(naive, dyadic_order, res, g):
+    from . import pallas_adjoint
+
+    dd_df, stk = res
     hi, lo = dd_df
     f = 2 ** dyadic_order
     probe = jax.ShapeDtypeStruct(
         hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
     if _df_supported(hi, dyadic_order):
         ct = pallas_adjoint.adjoint_fused_collapsed(
-            hi, g, naive=naive, dyadic_order=dyadic_order)
+            hi, g, naive=naive, dyadic_order=dyadic_order, fwd_stack=stk)
     elif pallas_blocked.supported(probe):
         ct = pallas_blocked.adjoint_blocked(hi, g, naive=naive,
                                             dyadic_order=dyadic_order)

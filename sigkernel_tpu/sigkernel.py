@@ -336,26 +336,33 @@ def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
         dG = (G1 - G) / eps
         ddG = (G - 2.0 * G1 + G2) / (eps * eps)
 
-    inc = increment_grid(G, dyadic_order)
-    inc_d = increment_grid(dG, dyadic_order)
-    inc_dd = increment_grid(ddG, dyadic_order)
+    dd = double_difference(G)
+    dd_d = double_difference(dG)
+    dd_dd = double_difference(ddG)
 
     from .ops import pallas_derivatives
+    from .utils import dyadic_refine
 
+    f = 2 ** dyadic_order
+    probe = jax.ShapeDtypeStruct(
+        dd.shape[:-2] + (dd.shape[-2] * f, dd.shape[-1] * f), dd.dtype)
     use_pallas = (solver == "pallas"
-                  or (solver == "auto" and inc.dtype == jnp.float32
-                      and pallas_derivatives.supported(inc)))
+                  or (solver == "auto" and dd.dtype == jnp.float32
+                      and pallas_derivatives.supported(probe)))
     if use_pallas:
-        if not pallas_derivatives.supported(inc):
+        if not pallas_derivatives.supported(probe):
             raise ValueError(
                 "solver='pallas' derivatives require a TPU backend and a "
-                f"refined grid whose shorter side fits {inc.shape[-2:]}")
-        # f32 tier (matching the Pallas forward tier); f64-grade derivative
-        # solves stay on the scan tier
+                f"refined grid whose shorter side fits {probe.shape[-2:]}")
+        # f32 tier (matching the Pallas forward tier; base grids stream,
+        # refinement happens in-kernel); f64-grade derivative solves stay
+        # on the scan tier
         K, Kd, Kdd = pallas_derivatives.solve_derivatives_final(
-            inc, inc_d, inc_dd)
+            dd, dd_d, dd_dd, dyadic_order=dyadic_order)
         return (K.astype(G.dtype), Kd.astype(G.dtype), Kdd.astype(G.dtype))
-    return scan_solver.solve_derivatives_final(inc, inc_d, inc_dd)
+    return scan_solver.solve_derivatives_final(
+        dyadic_refine(dd, dyadic_order), dyadic_refine(dd_d, dyadic_order),
+        dyadic_refine(dd_dd, dyadic_order))
 
 
 def k_kgrad(X, Y, gamma, dyadic_order, static_kernel, eps=1e-4):

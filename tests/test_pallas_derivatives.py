@@ -84,3 +84,24 @@ def test_estimator_pallas_derivatives_unavailable_raises(rng):
     with pytest.raises(ValueError, match="pallas"):
         sk.sig_kernel_and_derivatives_gram(sk.RBFKernel(1.0), X, X, 0.1 * X,
                                            solver="pallas")
+
+
+@pytest.mark.parametrize("dyadic_order", [1, 2])
+@pytest.mark.parametrize("shape", [(2, 6, 5), (1, 9, 7)])
+def test_triple_base_stream_refinement(rng, shape, dyadic_order):
+    """In-kernel refinement of the triple solve == scan on refined grids."""
+    from sigkernel_tpu.ops import pallas_derivatives, scan_solver
+    from sigkernel_tpu.utils import dyadic_refine
+
+    B = shape[0]
+    u = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+    ud = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+    us = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+    got = pallas_derivatives.solve_derivatives_final(
+        u, ud, us, dyadic_order=dyadic_order)
+    want = scan_solver.solve_derivatives_final(
+        dyadic_refine(u, dyadic_order), dyadic_refine(ud, dyadic_order),
+        dyadic_refine(us, dyadic_order))
+    for g_, w_ in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
+                                   rtol=3e-5, atol=3e-6)

@@ -77,3 +77,41 @@ def test_df64_solve_final_df_inputs(rng, dyadic_order):
     got = np.asarray(pallas_df64.solve_final_df(hi, lo,
                                                 dyadic_order=dyadic_order))
     np.testing.assert_allclose(got, want, rtol=1e-13)
+
+
+@pytest.mark.parametrize("dyadic_order", [1, 2])
+def test_hi_stack_matches_stack_solve(rng, dyadic_order):
+    """The df64 forward's hi-plane stack == the f32 stack solve the fused
+    adjoint would otherwise run (up to f32-vs-df64 rounding), and feeding
+    it back through adjoint_fused_collapsed reproduces the cotangent."""
+    from sigkernel_tpu.ops import pallas_df64, pallas_adjoint
+    from sigkernel_tpu.ops.pallas_solver import _solve_stack_one
+
+    B, Mb, Nb = 2, 6, 5
+    f = 2 ** dyadic_order
+    n_steps = Mb * f + Nb * f - 1
+    pad_f = pallas_adjoint._pad_f(f)
+    inc = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1, jnp.float32)
+    hi = inc
+    lo = jnp.zeros_like(inc)
+
+    val, stk = pallas_df64.solve_final_df_stack(
+        hi, lo, dyadic_order=dyadic_order, stack_pad=pad_f)
+    want_stack = np.asarray(_solve_stack_one(inc, False, dyadic_order,
+                                             out_pad=pad_f))
+    got = np.asarray(stk)[pad_f:pad_f + n_steps]
+    np.testing.assert_allclose(got, want_stack[pad_f:pad_f + n_steps],
+                               rtol=2e-5, atol=2e-6)
+
+    # value consistency with the plain df solve
+    want_val = np.asarray(pallas_df64.solve_final_df(
+        hi, lo, dyadic_order=dyadic_order))
+    np.testing.assert_allclose(np.asarray(val), want_val, rtol=1e-12)
+
+    # the adjoint driven by the shared stack == self-solved
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    ct_shared = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=dyadic_order, fwd_stack=stk))
+    ct_self = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=dyadic_order))
+    np.testing.assert_allclose(ct_shared, ct_self, rtol=2e-5, atol=2e-6)
