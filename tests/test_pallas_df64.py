@@ -115,3 +115,31 @@ def test_hi_stack_matches_stack_solve(rng, dyadic_order):
     ct_self = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
         inc, g, naive=False, dyadic_order=dyadic_order))
     np.testing.assert_allclose(ct_shared, ct_self, rtol=2e-5, atol=2e-6)
+
+
+def test_stack_shared_vjp_route(rng, monkeypatch):
+    """The df custom_vjp's stack-sharing residual path end-to-end: force
+    the platform gates open and check gradients against the scan adjoint."""
+    import jax
+    import sigkernel_tpu as sk
+    from sigkernel_tpu.ops import solve as solve_mod
+    from conftest import make_paths
+
+    monkeypatch.setattr(solve_mod, "_df_supported", lambda *a: True)
+    X = jnp.asarray(make_paths(rng, 2, 12, 2))
+    Y = jnp.asarray(make_paths(rng, 2, 12, 2))
+    kernel = sk.RBFKernel(1.0)
+
+    assert solve_mod._df_stack_gate(
+        jnp.zeros((2, 11, 11), jnp.float32), 1)
+
+    v_df, g_df = jax.value_and_grad(
+        lambda x: sk.sig_kernel(kernel, x, Y, dyadic_order=1,
+                                solver="df").sum())(X)
+    v_sc, g_sc = jax.value_and_grad(
+        lambda x: sk.sig_kernel(kernel, x, Y, dyadic_order=1,
+                                solver="scan").sum())(X)
+    np.testing.assert_allclose(float(v_df), float(v_sc), rtol=1e-10)
+    scale = np.abs(np.asarray(g_sc)).max()
+    np.testing.assert_allclose(np.asarray(g_df), np.asarray(g_sc),
+                               atol=3e-5 * scale, rtol=0)
