@@ -23,7 +23,7 @@ from jax import lax
 from .ops import scan_solver
 from .ops.solve import solve, solve_df
 from . import kernels as _kernels
-from .utils import increment_grid, double_difference, pad_length
+from .utils import double_difference, pad_length
 
 
 # ---------------------------------------------------------------------------
