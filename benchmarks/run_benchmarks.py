@@ -30,7 +30,8 @@ import sigkernel_tpu as sk  # noqa: E402
 
 def _materialise(*xs):
     for x in xs:
-        float(jnp.asarray(x).ravel()[0])
+        for leaf in jax.tree_util.tree_leaves(x):
+            float(jnp.asarray(leaf).ravel()[0])
 
 
 def _timed(fn, make_args, iters=3):

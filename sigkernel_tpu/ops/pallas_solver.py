@@ -353,13 +353,6 @@ def _extract_final(out, row_axis, MM, B):
     return out[:B, MM]
 
 
-def _stack_to_diags(diags, row_axis, MM, B):
-    """(n_steps, *slab) stack -> (n_steps, B, MM+1) for unskew_grid."""
-    if row_axis == 0:
-        return jnp.swapaxes(diags[:, :MM + 1, :B], 1, 2)
-    return diags[:, :B, :MM + 1]
-
-
 def _stack_to_grid(stack, row_axis, MM, NN, B, boundary=1.0, pre=0):
     """Diagonal stack ``(Tp, *slab)`` -> solution grids ``(B, MM+1, NN+1)``.
 
