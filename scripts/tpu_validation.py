@@ -204,6 +204,51 @@ if not QUICK:
     print(f"   (measured df64-mode gradient rtol: {rel:.2e})", flush=True)
 
 # ---------------------------------------------------------------------------
+# 6b. collapsed adjoint, fwd-stack sharing, derivatives refinement
+#     (round-2 kernels; all have DMA chains interpret mode cannot race)
+# ---------------------------------------------------------------------------
+from sigkernel_tpu.ops import pallas_adjoint, pallas_df64
+from sigkernel_tpu.ops.solve import _collapse_refined
+from sigkernel_tpu.utils import dyadic_refine as _dref
+
+inc_cc = jnp.asarray(rng.normal(size=(2, 40, 50)) * 0.1, jnp.float32)
+g_cc = jnp.asarray(rng.normal(size=(2,)), jnp.float32)
+for d_ in (1, 2):
+    got_c = pallas_adjoint.adjoint_fused_collapsed(inc_cc, g_cc, False, d_)
+    KK_c = pallas_adjoint.adjoint_fused(inc_cc, g_cc, False, d_)
+    check(f"collapsed adjoint d={d_}", got_c,
+          _collapse_refined(KK_c, d_, jnp.float32), 1e-4)
+    pf = pallas_adjoint._pad_f(2 ** d_)
+    _, stk_c = pallas_df64.solve_final_df_stack(
+        inc_cc, jnp.zeros_like(inc_cc), dyadic_order=d_, stack_pad=pf)
+    check(f"stack-shared adjoint d={d_}",
+          pallas_adjoint.adjoint_fused_collapsed(inc_cc, g_cc, False, d_,
+                                                 fwd_stack=stk_c),
+          got_c, 1e-4)
+    u_, ud_, us_ = (jnp.asarray(rng.normal(size=(2, 30, 25)) * 0.1,
+                                jnp.float32) for _ in range(3))
+    got3b = pallas_derivatives.solve_derivatives_final(u_, ud_, us_,
+                                                       dyadic_order=d_)
+    want3b = scan_solver.solve_derivatives_final(
+        _dref(u_, d_), _dref(ud_, d_), _dref(us_, d_))
+    for nm_, gb_, wb_ in zip(("K", "Kd", "Kdd"), got3b, want3b):
+        check(f"deriv base-stream {nm_} d={d_}", gb_, wb_, 1e-4)
+
+# stripe grid + striped adjoint (the beyond-VMEM gradient path)
+inc_sg = jnp.asarray(rng.normal(size=(2, 60, 40)) * 0.05, jnp.float32)
+grid_sg = scan_solver.solve_grid(inc_sg)
+check("stripe grid (north-boundary continuation)",
+      pallas_blocked._stripe_grid(inc_sg[:, 20:, :], grid_sg[:, 20, :],
+                                  False),
+      grid_sg[:, 20:, :], 1e-5)
+from sigkernel_tpu.ops.solve import _grid_route_bwd
+g_sg = jnp.asarray(rng.normal(size=(2,)), jnp.float32)
+(want_ct_sg,) = _grid_route_bwd(inc_sg, g_sg, False, "scan", 0)
+check("striped adjoint vs grid route",
+      pallas_blocked.adjoint_blocked(inc_sg, g_sg, False, 0),
+      want_ct_sg, 1e-4)
+
+# ---------------------------------------------------------------------------
 # 7. blocked long-path solver: correctness + >8192-row stress
 # ---------------------------------------------------------------------------
 inc_b = jnp.asarray(rng.normal(size=(1, 500, 480)) * 0.02, jnp.float32)
