@@ -154,3 +154,16 @@ def test_stretched_stream_refinement_corners(rng, shape, dyadic_order):
     gotg = np.asarray(pallas_solver._solve_grid_one(
         inc, False, dyadic_order))
     np.testing.assert_allclose(gotg, wantg, rtol=3e-5, atol=3e-6)
+
+
+def test_stretched_stream_pairs_on_lanes(rng):
+    """Refine machinery on the pairs-on-lanes layout (B > 64, row_axis=0):
+    sublane-axis stretch/roll/select."""
+    from sigkernel_tpu.ops import scan_solver as ss
+    from sigkernel_tpu.utils import dyadic_refine
+
+    inc = jnp.asarray(rng.normal(size=(130, 9, 7)) * 0.1, jnp.float32)
+    ref = dyadic_refine(inc, 1)
+    want = np.asarray(ss.solve_final(ref))
+    got = np.asarray(pallas_solver._solve_final_one(inc, False, 1))
+    np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
