@@ -21,16 +21,18 @@ tier splits the base grid to f32 hi/lo first and refines the components,
 avoiding 4x of emulated-f64 data movement. The backward collapses the
 refined adjoint back to the base grid (the VJP of the refinement).
 
-Gradient precision: the ``pallas_df64`` tier runs its *backward* sweeps with
-the plain f32 kernel. Measured on hardware at the benchmark size (len 1024,
-dyadic 1): ~2e-2 max-relative vs the exact f64 adjoint -- the error is NOT
-the adjoint sweep itself but f32 cancellation in the double-difference VJP
-downstream (the discrete Laplacian of the smooth ``KK`` product loses
-~(grid/lambda)^2 digits). This is the same cancellation the reference's f32
-CUDA backward has at equal sizes (its CPU path avoids it only by being
-f64 end-to-end). For f64-grade gradients pass ``grad_solver="df64"``
-(double-double grid sweeps + f64 VJP chain, ~3x backward cost) or
-``solver="scan"``.
+Gradient precision (``grad_solver``): a user who handed us float64 inputs
+made a precision decision, so ``"auto"`` honours it on the backward too --
+f64-grade increments get f64-grade adjoint sweeps (double-double grid
+sweeps + f64 VJP chain, ~3x backward cost). ``"f32"`` is the explicit
+opt-down to the fast f32 adjoint: measured on hardware at the benchmark
+size (len 1024, dyadic 1) it is ~2e-2 max-relative vs the exact f64
+adjoint -- the error is NOT the adjoint sweep itself but f32 cancellation
+in the double-difference VJP downstream (the discrete Laplacian of the
+smooth ``KK`` product loses ~(grid/lambda)^2 digits). This matches the
+gradient grade of the reference's f32 CUDA backward at equal sizes (its
+CPU path avoids it only by being f64 end-to-end). ``"df64"`` forces the
+full-precision route even where ``auto`` would not pick it.
 """
 from __future__ import annotations
 
@@ -125,18 +127,20 @@ def solve(inc: jnp.ndarray, naive: bool = False, solver: str = "auto",
     Returns the signature-kernel values ``K[..., -1, -1]`` with the batch
     shape of ``inc``. Differentiable in ``inc`` via the adjoint PDE solve.
 
-    ``grad_solver``: ``"auto"`` runs the backward sweeps at f32 on the
-    Pallas tiers (sheared-space adjoint; matches reference gradient quality,
-    see module docstring); ``"df64"`` forces full double-double adjoint
-    sweeps (f64-grade gradients at ~3x backward cost).
+    ``grad_solver``: ``"auto"`` matches backward precision to the increment
+    dtype (f32 increments -> f32 adjoint, f64 increments -> double-double
+    grid sweeps + f64 VJP chain at ~3x backward cost); ``"f32"`` explicitly
+    opts f64 increments down to the fast f32-grade adjoint (see module
+    docstring for the measured error); ``"df64"`` forces the full-precision
+    route.
 
     Batch dims are flattened around the core: with >1 batch dims (the Gram
     case) XLA's layout assignment may otherwise tile the minor batch axes
     onto lanes/sublanes, inflating the big grid temporaries up to 16x.
     """
-    if grad_solver not in ("auto", "df64"):
+    if grad_solver not in ("auto", "f32", "df64"):
         raise ValueError(f"unknown grad_solver {grad_solver!r}; "
-                         "expected 'auto' or 'df64'")
+                         "expected 'auto', 'f32' or 'df64'")
     batch_shape = inc.shape[:-2]
     # explicit batch size: -1 cannot be inferred when a trailing dim is 0
     # (length-1 paths produce a (..., 0, 0) increment grid)
@@ -180,8 +184,13 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
     from . import pallas_adjoint
 
     s = _resolve(solver, inc, dyadic_order)
+    # the f64-grade route is taken when forced ("df64") or when "auto" sees
+    # f64-grade increments (the pallas_df64 tier): backward precision
+    # follows the input precision unless the user opts down with "f32"
+    want_f64_grade = (grad_solver == "df64"
+                      or (grad_solver == "auto" and s == "pallas_df64"))
     if s in ("pallas", "pallas_df64") and not (
-            s == "pallas_df64" and grad_solver == "df64"):
+            s == "pallas_df64" and want_f64_grade):
         # fused adjoint: the reverse sweep multiplies the forward stack
         # in-flight and collapses the cotangent to base resolution
         # in-kernel (falls back to the sheared-space adjoint_dd for
@@ -190,7 +199,21 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
         ct = pallas_adjoint.adjoint_fused_collapsed(
             inc, g, naive=naive, dyadic_order=dyadic_order)
         return (ct.astype(inc.dtype),)
-    if s == "pallas_blocked":
+    if s == "pallas_blocked" and not (grad_solver == "df64"
+                                      and inc.dtype == jnp.float64):
+        if inc.dtype == jnp.float64 and grad_solver == "auto":
+            # beyond-VMEM grids have no f64-grade adjoint tier; an f64
+            # fallback would materialise the full refined grid on the scan
+            # tier (typically OOM at these sizes), so warn instead of
+            # silently matching neither choice
+            import warnings
+
+            warnings.warn(
+                "sigkernel_tpu: f64 increments on the blocked (beyond-VMEM) "
+                "solver get the f32-grade striped adjoint; pass "
+                "grad_solver='f32' to acknowledge, or grad_solver='df64' to "
+                "force the full-precision grid route (may exhaust memory at "
+                "blocked sizes)", stacklevel=2)
         # striped adjoint: stripe-grid recompute pairs; returns the
         # cotangent already collapsed to base resolution (f32 backward)
         ct = pallas_blocked.adjoint_blocked(inc, g, naive=naive,

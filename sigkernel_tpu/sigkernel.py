@@ -137,6 +137,53 @@ def _df_increments(static_kernel, x, y, gram: bool):
     return df_prep.rbf_increments_df(x, y, static_kernel.sigma, gram)
 
 
+_GRAD_SOLVERS = ("auto", "f32", "df64")
+
+
+def _check_grad_solver(grad_solver):
+    if grad_solver not in _GRAD_SOLVERS:
+        raise ValueError(f"unknown grad_solver {grad_solver!r}; expected one "
+                         f"of {_GRAD_SOLVERS}")
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _df_hybrid(static_kernel, x, y, gram, naive, dyadic_order):
+    """df forward, f64-grade backward: the honest default for f64 inputs.
+
+    Forward value comes from the fast paired-f32 (double-float) pathway --
+    no emulated f64 anywhere, ~1e-10 of the f64 oracle. The backward
+    *recomputes* the increment chain in true f64 and differentiates through
+    it with the full-precision adjoint (``grad_solver="df64"``): the
+    f32-grade error of the df backward is not the adjoint sweep but f32
+    cancellation in the double-difference VJP (see ``ops.solve`` docstring),
+    so honest gradients need the f64 prep chain. Measured on hardware:
+    2.0e-10 relative vs 2.7e-2 for the f32-grade route at the benchmark
+    size (docs/VALIDATION.md).
+    """
+    dd_df = _df_increments(static_kernel, x, y, gram)
+    return solve_df(dd_df, naive, dyadic_order)
+
+
+def _df_hybrid_fwd(static_kernel, x, y, gram, naive, dyadic_order):
+    return (_df_hybrid(static_kernel, x, y, gram, naive, dyadic_order),
+            (static_kernel, x, y))
+
+
+def _df_hybrid_bwd(gram, naive, dyadic_order, res, g):
+    static_kernel, x, y = res
+
+    def chain(sk_, x_, y_):
+        G = (sk_.Gram_matrix(x_, y_) if gram else sk_.batch_kernel(x_, y_))
+        return solve(double_difference(G), naive, "auto", dyadic_order,
+                     "df64")
+
+    _, vjp = jax.vjp(chain, static_kernel, x, y)
+    return vjp(g)
+
+
+_df_hybrid.defvjp(_df_hybrid_fwd, _df_hybrid_bwd)
+
+
 def _fused_auto(static_kernel, X, Y, solver, grad_solver, dyadic_order):
     """Should ``solver="auto"`` take the fused in-kernel increment path?
 
@@ -164,9 +211,13 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
     Parity: reference ``SigKernel.compute_kernel`` (sigkernel.py:23-40).
     ``length_bucket``: pad path lengths up to this multiple by repeating the
     final point -- exact (zero increments are no-ops) and cuts recompiles
-    across irregular-length datasets. ``grad_solver="df64"`` forces
-    f64-grade adjoint sweeps (see :func:`..ops.solve.solve`).
+    across irregular-length datasets. ``grad_solver``: ``"auto"`` gives
+    gradients at the input precision (f64 inputs -> f64-grade backward,
+    ~3x backward cost on TPU); ``"f32"`` opts down to the fast f32-grade
+    adjoint; ``"df64"`` forces the full f64 chain end to end (see
+    :func:`..ops.solve.solve`).
     """
+    _check_grad_solver(grad_solver)
     if length_bucket:
         X = pad_length(X, length_bucket)
         Y = pad_length(Y, length_bucket)
@@ -180,8 +231,12 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
     def tile_fn(xy):
         x, y = xy
         if use_df:
-            dd_df = _df_increments(static_kernel, x, y, gram=False)
-            return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+            if grad_solver == "f32":
+                dd_df = _df_increments(static_kernel, x, y, gram=False)
+                return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+            # honest default: df forward, f64-grade backward
+            return _df_hybrid(static_kernel, x, y, False, naive,
+                              dyadic_order).astype(X.dtype)
         G = static_kernel.batch_kernel(x, y)
         dd = double_difference(G)
         return solve(dd, naive, solver, dyadic_order, grad_solver)
@@ -252,6 +307,7 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
     reference) only the upper triangle is solved and mirrored.
     ``length_bucket``: exact length padding (see :func:`sig_kernel`).
     """
+    _check_grad_solver(grad_solver)
     if length_bucket:
         X = pad_length(X, length_bucket)
         Y = pad_length(Y, length_bucket)
@@ -280,8 +336,12 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
 
     def tile_fn(x, y):
         if use_df:
-            dd_df = _df_increments(static_kernel, x, y, gram=True)
-            return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+            if grad_solver == "f32":
+                dd_df = _df_increments(static_kernel, x, y, gram=True)
+                return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+            # honest default: df forward, f64-grade backward
+            return _df_hybrid(static_kernel, x, y, True, naive,
+                              dyadic_order).astype(X.dtype)
         G = static_kernel.Gram_matrix(x, y)
         dd = double_difference(G)
         return solve(dd, naive, solver, dyadic_order, grad_solver)
@@ -311,7 +371,8 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
 
 def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
                                     dyadic_order=0, eps: Optional[float] = None,
-                                    solver="auto"):
+                                    solver="auto",
+                                    max_batch: Optional[int] = None):
     """Kernel + first/second directional derivatives along ``gamma``.
 
     Parity: reference ``k_kgrad`` (sigkernel.py:504-593). With ``eps=None``
@@ -319,7 +380,40 @@ def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
     *analytically* with nested ``jax.jvp`` instead of the reference's
     ``eps=1e-4`` finite differences; pass a float ``eps`` for FD parity mode.
     Returns three ``(bx, by)`` arrays ``(K, K_diff, K_diffdiff)``.
+
+    ``max_batch`` tiles the (bx, by) pair grid with static shapes (the
+    analogue of the reference's recursive quadtree at sigkernel.py:56-88):
+    each tile builds only ``max_batch**2`` refined grids x 3 planes at a
+    time, so large Grams at high dyadic order don't OOM.
     """
+    bx, by = X.shape[0], Y.shape[0]
+    if max_batch is not None and (bx > max_batch or by > max_batch):
+        Xp, _ = _pad_batch(X, max_batch)
+        Gp, _ = _pad_batch(gamma, max_batch)
+        Yp, _ = _pad_batch(Y, max_batch)
+        na = Xp.shape[0] // max_batch
+        nb = Yp.shape[0] // max_batch
+        Xc = Xp.reshape(na, max_batch, *X.shape[1:])
+        Gc = Gp.reshape(na, max_batch, *gamma.shape[1:])
+        Yc = Yp.reshape(nb, max_batch, *Y.shape[1:])
+
+        def tile(x, g, y):
+            return sig_kernel_and_derivatives_gram(
+                static_kernel, x, y, g, dyadic_order=dyadic_order, eps=eps,
+                solver=solver, max_batch=None)
+
+        def row(xg):
+            x, g = xg
+            return lax.map(lambda y: tile(x, g, y), Yc)  # 3x (nb, mb, mb)
+
+        out = lax.map(row, (Xc, Gc))  # 3x (na, nb, mb, mb)
+
+        def assemble(t):
+            t = jnp.moveaxis(t, 2, 1).reshape(na * max_batch, nb * max_batch)
+            return t[:bx, :by]
+
+        return tuple(assemble(t) for t in out)
+
     if solver not in ("auto", "scan", "pallas"):
         raise ValueError(
             f"unknown solver {solver!r} for the derivatives path; expected "
@@ -462,12 +556,9 @@ class SigKernel:
 
     def compute_kernel_and_derivatives_Gram(self, X, Y, gamma, max_batch=100,
                                             eps=None):
-        # max_batch accepted for API parity; derivative grids are small enough
-        # that tiling is deferred to the caller.
-        del max_batch
         return sig_kernel_and_derivatives_gram(
             self.static_kernel, X, Y, gamma, dyadic_order=self.dyadic_order,
-            eps=eps, solver=self.solver)
+            eps=eps, solver=self.solver, max_batch=max_batch)
 
     def compute_distance(self, X, Y, max_batch=100):
         return sig_distance(self.static_kernel, X, Y, **self._kw(max_batch))

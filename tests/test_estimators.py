@@ -105,6 +105,22 @@ def test_kernel_and_derivatives_gram(rng, kernel):
                                rtol=1e-2, atol=1e-4)
 
 
+def test_kernel_and_derivatives_gram_max_batch_tiles(rng, kernel):
+    """max_batch tiling == the untiled result exactly (replaces the
+    reference's recursive quadtree, sigkernel.py:56-88), including ragged
+    tile edges on both batch axes."""
+    X = jnp.asarray(make_paths(rng, 5, 6, 2))
+    Y = jnp.asarray(make_paths(rng, 3, 6, 2))
+    gamma = jnp.asarray(make_paths(rng, 5, 6, 2))
+    sig = sk.SigKernel(kernel, dyadic_order=1)
+    full = sig.compute_kernel_and_derivatives_Gram(X, Y, gamma,
+                                                   max_batch=None)
+    tiled = sig.compute_kernel_and_derivatives_Gram(X, Y, gamma, max_batch=2)
+    for a, b in zip(tiled, full):
+        assert a.shape == (5, 3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-12)
+
+
 def test_derivatives_match_fd_of_kernel(rng, kernel):
     """First directional derivative ~ FD of the kernel along gamma."""
     X = jnp.asarray(make_paths(rng, 2, 6, 2))
