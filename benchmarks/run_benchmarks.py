@@ -106,11 +106,45 @@ def bench_longpath(report):
     report("scoring_rule_len1024_dyadic2_dim5", pairs / dt, "pairs/s")
 
 
+def bench_chsic(report):
+    """SigCHSIC at the long-path stress config (len 1024, dyadic 2, dim 5):
+    three sym Grams + the conditional-HSIC trace algebra, f64."""
+    from sigkernel_tpu import stats
+
+    rng = np.random.default_rng(4)
+    kernel = sk.RBFKernel(1.0)
+    m = 4
+    X0 = _paths(rng, m, 1024, 5, jnp.float64)
+    Y0 = _paths(rng, m, 1024, 5, jnp.float64)
+    Z0 = _paths(rng, m, 1024, 5, jnp.float64)
+    fn = jax.jit(lambda x, y, z: stats.sig_chsic(x, y, z, kernel,
+                                                 dyadic_order=2,
+                                                 max_batch=None))
+    dt = _timed(fn, lambda i: (X0 * (1 + 1e-9 * i), Y0, Z0), iters=2)
+    pairs = 3 * (m * (m + 1) / 2)  # three sym Grams
+    report("chsic_len1024_dyadic2_dim5", pairs / dt, "pairs/s")
+
+
+def bench_derivatives_gram(report):
+    """k_kgrad triple solve with max_batch tiling (len 256, dyadic 1)."""
+    rng = np.random.default_rng(5)
+    kernel = sk.RBFKernel(1.0)
+    X0 = _paths(rng, 6, 256, 3, jnp.float64)
+    Y0 = _paths(rng, 6, 256, 3, jnp.float64)
+    g0 = _paths(rng, 6, 256, 3, jnp.float64)
+    fn = jax.jit(lambda x, y, g: sk.sig_kernel_and_derivatives_gram(
+        kernel, x, y, g, dyadic_order=1, max_batch=4)[2])
+    dt = _timed(fn, lambda i: (X0 * (1 + 1e-9 * i), Y0, g0), iters=2)
+    report("derivatives_gram_b6x6_len256_dyadic1", 36 / dt, "pairs/s")
+
+
 BENCHES = {
     "readme": bench_readme,
     "gram": bench_gram_sym,
     "mmd": bench_mmd_grad,
     "longpath": bench_longpath,
+    "chsic": bench_chsic,
+    "derivatives": bench_derivatives_gram,
 }
 
 
