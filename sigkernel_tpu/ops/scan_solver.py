@@ -192,6 +192,69 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False) -> jnp.ndarray:
     return grid
 
 
+@functools.partial(jax.jit, static_argnames=("naive",))
+def solve_stripe(inc: jnp.ndarray, bd: jnp.ndarray,
+                 naive: bool = False) -> jnp.ndarray:
+    """Sweep one horizontal stripe with a general north boundary.
+
+    The stripe decomposition of :mod:`.pallas_blocked` (and its ICI
+    sequence-parallel form in :mod:`..parallel.seq_stripes`): the grid rows
+    are cut into stripes; each stripe is an ordinary wavefront whose north
+    boundary row ``K[0_local, j]`` is the *previous stripe's bottom row*
+    instead of the constant 1. This is the portable tier of that stripe
+    sweep (any platform/dtype).
+
+    ``inc``: ``(..., MM_s, NN)`` stripe increments. ``bd``: ``(..., NN+1)``
+    north boundary (``bd[..., 0] == 1``, the global west corner). Returns
+    the stripe's bottom row ``K[MM_s, :]`` as ``(..., NN+1)`` (entry 0 is
+    the west boundary 1); the final stripe's entry ``[..., NN]`` is the
+    solve's corner value.
+    """
+    MM, NN = inc.shape[-2], inc.shape[-1]
+    batch_shape = inc.shape[:-2]
+    dtype = inc.dtype
+    scheme = get_scheme(naive)
+
+    if MM == 0:
+        return bd
+    if NN == 0:
+        return jnp.ones(batch_shape + (1,), dtype)
+
+    inc_skew = skew_increments(inc)          # (n_steps, ..., MM+1)
+    n_steps = MM + NN - 1
+    ps = jnp.arange(2, MM + NN + 1)
+    ii = jnp.arange(MM + 1)
+    one = jnp.ones((), dtype)
+
+    # north boundary per diagonal p: K[0, p] = bd[p] (pad past NN: unused)
+    bd_pad = jnp.concatenate(
+        [bd, jnp.ones(batch_shape + (MM + 1,), dtype)], axis=-1)
+    bd_steps = jnp.moveaxis(
+        lax.dynamic_slice_in_dim(bd_pad, 2, n_steps, axis=-1), -1, 0)
+
+    v0 = jnp.zeros_like(inc[..., 0, 0])[..., None] + jnp.ones((MM + 1,), dtype)
+    vm2 = jnp.where(ii == 0, bd[..., 0:1], v0)
+    vm1 = jnp.where(ii == 0, bd_pad[..., 1:2], v0)
+
+    def step(carry, xs):
+        vm2, vm1 = carry
+        inc_row, p, bd_p = xs
+        k10 = vm1
+        k01 = jnp.roll(vm1, 1, axis=-1)
+        k00 = jnp.roll(vm2, 1, axis=-1)
+        v = scheme(k00, k01, k10, inc_row)
+        v = jnp.where(ii == p, one, v)          # west boundary K[p, 0] = 1
+        v = jnp.where(ii == 0, bd_p[..., None], v)  # north boundary
+        return (vm1, v), v[..., MM]
+
+    (_, _), bottom = lax.scan(step, (vm2, vm1), (inc_skew, ps, bd_steps))
+    # bottom[q] = K[MM, q + 2 - MM] for q >= MM - 2
+    bottom = jnp.moveaxis(bottom, 0, -1)       # (..., n_steps)
+    vals = lax.dynamic_slice_in_dim(bottom, MM - 1, NN, axis=-1)
+    west = jnp.ones(batch_shape + (1,), dtype)
+    return jnp.concatenate([west, vals], axis=-1)
+
+
 # ---------------------------------------------------------------------------
 # Fused triple sweep: kernel + first/second directional derivatives.
 # Product-rule recurrences follow the reference spec

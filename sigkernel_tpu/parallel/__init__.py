@@ -5,3 +5,4 @@ from .sharded import (  # noqa: F401
     sharded_sig_gram_2d,
     sharded_sig_mmd,
 )
+from .seq_stripes import striped_solve_final  # noqa: F401

@@ -75,3 +75,46 @@ def test_sharded_gram_2d_matches_local(rng):
     local = np.asarray(sk.sig_gram(k, X, Y, dyadic_order=1))
     dist = np.asarray(sharded_sig_gram_2d(k, X, Y, mesh2d, dyadic_order=1))
     np.testing.assert_allclose(dist, local, rtol=1e-12)
+
+
+def test_striped_solve_matches_single_device(rng, mesh):
+    """ICI sequence parallelism: grid rows striped across the 8-device mesh,
+    bottom boundary rows halo-exchanged chip-to-chip (SURVEY S5's long-path
+    mechanism). Must equal the single-device sweep bit-exactly -- the same
+    stripe recurrences run in the same order on the same inputs."""
+    from sigkernel_tpu.parallel import striped_solve_final
+    from sigkernel_tpu.ops import scan_solver
+
+    inc = jnp.asarray(rng.normal(size=(4, 64, 24)) * 0.05)
+    local = np.asarray(scan_solver.solve_final(inc))
+    dist = np.asarray(striped_solve_final(inc, mesh=jax.sharding.Mesh(
+        jax.devices()[:8], ("data",))))
+    np.testing.assert_array_equal(dist, local)
+
+
+@pytest.mark.parametrize("chunks", [1, 2, 4])
+def test_striped_solve_dyadic_chunks(rng, mesh, chunks):
+    """Per-chip lazy dyadic refinement + pair-chunk pipelining: each chip
+    holds only its *base* stripe; refined rows exist one stripe at a time.
+    Beyond one chip's budget in aggregate == the single-chip blocked
+    decomposition semantics (ops/pallas_blocked.py docstring)."""
+    from sigkernel_tpu.parallel import striped_solve_final
+    from sigkernel_tpu.ops import scan_solver
+    from sigkernel_tpu.utils import dyadic_refine
+
+    inc = jnp.asarray(rng.normal(size=(4, 16, 10)) * 0.1)
+    local = np.asarray(scan_solver.solve_final(dyadic_refine(inc, 1)))
+    dist = np.asarray(striped_solve_final(inc, mesh=jax.sharding.Mesh(
+        jax.devices()[:8], ("data",)), dyadic_order=1, chunks=chunks))
+    np.testing.assert_allclose(dist, local, rtol=1e-12)
+
+
+def test_striped_solve_naive_scheme(rng, mesh):
+    from sigkernel_tpu.parallel import striped_solve_final
+    from sigkernel_tpu.ops import scan_solver
+
+    inc = jnp.asarray(rng.normal(size=(2, 32, 12)) * 0.1)
+    local = np.asarray(scan_solver.solve_final(inc, naive=True))
+    dist = np.asarray(striped_solve_final(inc, mesh=jax.sharding.Mesh(
+        jax.devices()[:8], ("data",)), naive=True))
+    np.testing.assert_array_equal(dist, local)
