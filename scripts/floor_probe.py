@@ -154,15 +154,9 @@ def run_chain(seed, slab, n_chains, flavour, mode, n_steps=N_STEPS):
     )(seed_arr)
 
 
-def measure(slab, n_chains, flavour, mode, n_steps=N_STEPS, reps=3):
-    try:
-        out = run_chain(jnp.float32(1.0), slab, n_chains, flavour, mode,
-                        n_steps)
-        float(out.ravel()[0])  # compile + warm
-    except Exception as e:
-        print(f"slab={slab!s:12} chains={n_chains} {flavour:6} {mode:8} "
-              f"-> FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
-        return None
+def _best_wall(slab, n_chains, flavour, mode, n_steps, reps=3):
+    out = run_chain(jnp.float32(1.0), slab, n_chains, flavour, mode, n_steps)
+    float(out.ravel()[0])  # compile + warm
     best = float("inf")
     for i in range(reps):
         s = jnp.float32(1.0 + 1e-6 * (i + 1))
@@ -171,10 +165,29 @@ def measure(slab, n_chains, flavour, mode, n_steps=N_STEPS, reps=3):
         out = run_chain(s, slab, n_chains, flavour, mode, n_steps)
         float(out.ravel()[0])
         best = min(best, time.perf_counter() - t0)
-    us = best / n_steps * 1e6
+    return best
+
+
+def measure(slab, n_chains, flavour, mode, reps=3):
+    """Slope-based per-step cost: (wall(N2) - wall(N1)) / (N2 - N1).
+
+    A single dispatch through the remote relay costs ~27 ms fixed -- at
+    N=4096 steps EVERY config walls at ~27 ms and 'per-step' numbers are
+    pure dispatch artifact (this bit round 2's stage profiles too). The
+    slope of two step counts in one dispatch each cancels it.
+    """
+    n1, n2 = N_STEPS, N_STEPS * 8
+    try:
+        t1 = _best_wall(slab, n_chains, flavour, mode, n1, reps)
+        t2 = _best_wall(slab, n_chains, flavour, mode, n2, reps)
+    except Exception as e:
+        print(f"slab={slab!s:12} chains={n_chains} {flavour:6} {mode:8} "
+              f"-> FAILED {type(e).__name__}: {str(e)[:120]}", flush=True)
+        return None
+    us = (t2 - t1) / (n2 - n1) * 1e6
     print(f"slab={slab!s:12} chains={n_chains} {flavour:6} {mode:8} "
-          f"-> {us:7.3f} us/step ({us / n_chains:6.3f} us/chain-step, "
-          f"wall {best*1e3:.1f} ms)", flush=True)
+          f"-> {us:7.4f} us/step ({us / n_chains:7.4f} us/chain-step; "
+          f"walls {t1*1e3:.1f} / {t2*1e3:.1f} ms)", flush=True)
     return us
 
 
