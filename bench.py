@@ -38,8 +38,12 @@ A100_MODEL_PAIRS_PER_S = 19000.0
 LENGTH = int(os.environ.get("SIGBENCH_LENGTH", 1024))
 DYADIC = int(os.environ.get("SIGBENCH_DYADIC", 1))
 DIM = 3
-PAIRS_A = int(os.environ.get("SIGBENCH_PAIRS", 8))
-PAIRS_B = int(os.environ.get("SIGBENCH_PAIRS", 8))
+# 16x16 Gram = 256 path pairs, solved in two 128-pair chunks. The
+# BASELINE north star is batch-100 Grams (10k pairs); 128-pair chunks are
+# also what unlocks the aligned (512-byte-shift) stream construction --
+# see ops/pallas_solver.ALIGNED_MIN_PAIR_BYTES.
+PAIRS_A = int(os.environ.get("SIGBENCH_PAIRS", 16))
+PAIRS_B = int(os.environ.get("SIGBENCH_PAIRS", 16))
 DTYPE = "float64"
 
 

@@ -413,15 +413,24 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         # 2) transposed-reversed increments, sheared (flip commutes with
         #    the dyadic repeat, so flip at base resolution)
         rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
-        if f_k > 1:
-            from .pallas_solver import _stretch_stream
+        from .pallas_solver import (_stretch_stream, _aligned_streams_ps,
+                                    _use_aligned)
 
+        if f_k > 1:
             rb = rbase * jnp.float32(1.0 / (f_k * f_k))    # (B, Nb, Mb)
-            sk = _stretch_stream(rb, f_k, TB, 1, (P, L_r))
+            if _use_aligned(B, (P, L_r), 1):
+                (sk,) = _aligned_streams_ps([rb], f_k, TB, (P, L_r))
+            else:
+                sk = _stretch_stream(rb, f_k, TB, 1, (P, L_r))
         else:
             rinc = dyadic_refine(rbase, dyadic_order)      # (B, NN, MM)
-            sk, n_steps, row_axis, slab = _pad_shear(rinc, TB)
-            assert row_axis == 1 and slab == (P, L_r) and n_steps == T
+            if _use_aligned(B, (P, L_r), 1):
+                (sk,) = _aligned_streams_ps([rinc.astype(jnp.float32)], 1,
+                                            TB, (P, L_r))
+            else:
+                sk, n_steps, row_axis, slab = _pad_shear(rinc, TB)
+                assert (row_axis == 1 and slab == (P, L_r)
+                        and n_steps == T)
 
         gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
 
@@ -500,7 +509,8 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     assert fwd_stack is None or B0 <= chunk
 
     def one(args):
-        from .pallas_solver import _stretch_stream
+        from .pallas_solver import (_stretch_stream, _aligned_streams_ps,
+                                    _use_aligned)
 
         inc_c, g_c = args
         B = inc_c.shape[0]
@@ -517,7 +527,10 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
 
         rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
         rb = rbase * jnp.float32(1.0 / (f * f))            # (B, Nb, Mb)
-        sk = _stretch_stream(rb, f, TB, 1, (P, L_r))
+        if _use_aligned(B, (P, L_r), 1):
+            (sk,) = _aligned_streams_ps([rb], f, TB, (P, L_r))
+        else:
+            sk = _stretch_stream(rb, f, TB, 1, (P, L_r))
 
         gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
 

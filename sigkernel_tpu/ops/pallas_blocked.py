@@ -41,8 +41,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import scan_solver
-from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, CHUNK_BYTES, IN_OFF,
+from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, IN_OFF,
                             _ix, _scheme, _chunk_map)
+
+# Own HBM budget: blocked problems are enormous per pair and their stripe
+# streams still use the legacy (unaligned) shear with ~3x XLA copies; the
+# solver module's budget was raised for 128-pair aligned chunks and would
+# overshoot here.
+CHUNK_BYTES = 9 << 29
 from ..utils import ceil_to, dyadic_refine
 
 DMA_BATCH = 4

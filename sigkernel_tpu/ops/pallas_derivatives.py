@@ -160,23 +160,32 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
 
 
 def _solve_one(incs, dyadic_order=0):
-    from .pallas_solver import _layout, _stretch_stream
+    from .pallas_solver import (_layout, _stretch_stream,
+                                _aligned_streams_ps, _use_aligned)
 
     u3, ud3, us3 = incs
     f = 2 ** dyadic_order
     B, Mb, Nb = u3.shape
     MM, NN = Mb * f, Nb * f
     n_steps = MM + NN - 1
+    row_axis, slab, _ = _layout(B, MM)
     if f == 1:
-        sku, n_steps, row_axis, slab = _pad_shear(u3, DMA_BATCH)
-        skd, _, _, _ = _pad_shear(ud3, DMA_BATCH)
-        sks, _, _, _ = _pad_shear(us3, DMA_BATCH)
+        if _use_aligned(B, slab, row_axis):
+            sku, skd, sks = _aligned_streams_ps([u3, ud3, us3], 1,
+                                                DMA_BATCH, slab)
+        else:
+            sku, n_steps, row_axis, slab = _pad_shear(u3, DMA_BATCH)
+            skd, _, _, _ = _pad_shear(ud3, DMA_BATCH)
+            sks, _, _, _ = _pad_shear(us3, DMA_BATCH)
     else:
-        row_axis, slab, _ = _layout(B, MM)
         sc = jnp.float32(1.0 / (f * f))
-        sku = _stretch_stream(u3 * sc, f, DMA_BATCH, row_axis, slab)
-        skd = _stretch_stream(ud3 * sc, f, DMA_BATCH, row_axis, slab)
-        sks = _stretch_stream(us3 * sc, f, DMA_BATCH, row_axis, slab)
+        if _use_aligned(B, slab, row_axis):
+            sku, skd, sks = _aligned_streams_ps(
+                [u3 * sc, ud3 * sc, us3 * sc], f, DMA_BATCH, slab)
+        else:
+            sku = _stretch_stream(u3 * sc, f, DMA_BATCH, row_axis, slab)
+            skd = _stretch_stream(ud3 * sc, f, DMA_BATCH, row_axis, slab)
+            sks = _stretch_stream(us3 * sc, f, DMA_BATCH, row_axis, slab)
     kernel = functools.partial(_deriv_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, refine=f)
     outk, outd, outs = pl.pallas_call(

@@ -350,18 +350,25 @@ def _pad_skew_components(hi: jnp.ndarray, lo: jnp.ndarray,
     old pipeline); components are pre-scaled by the exact power of two
     ``1/f^2``.
     """
-    from .pallas_solver import _layout, _stretch_stream
+    from .pallas_solver import (_layout, _stretch_stream, _aligned_streams_ps,
+                                _use_aligned)
 
     f = 2 ** dyadic_order
     B, Mb, Nb = hi.shape
+    row_axis, slab, _ = _layout(B, Mb * f)
     if f == 1:
+        if _use_aligned(B, slab, row_axis):
+            skh, skl = _aligned_streams_ps([hi, lo], 1, DMA_BATCH, slab)
+            return skh, skl, Mb + Nb - 1, row_axis, slab, 1
         skh, n_steps, row_axis, slab = _pad_shear(hi, DMA_BATCH)
         skl, _, _, _ = _pad_shear(lo, DMA_BATCH)
         return skh, skl, n_steps, row_axis, slab, f
     s = jnp.float32(1.0 / (f * f))
-    row_axis, slab, _ = _layout(B, Mb * f)
-    skh = _stretch_stream(hi * s, f, DMA_BATCH, row_axis, slab)
-    skl = _stretch_stream(lo * s, f, DMA_BATCH, row_axis, slab)
+    if _use_aligned(B, slab, row_axis):
+        skh, skl = _aligned_streams_ps([hi * s, lo * s], f, DMA_BATCH, slab)
+    else:
+        skh = _stretch_stream(hi * s, f, DMA_BATCH, row_axis, slab)
+        skl = _stretch_stream(lo * s, f, DMA_BATCH, row_axis, slab)
     n_steps = Mb * f + Nb * f - 1
     return skh, skl, n_steps, row_axis, slab, f
 

@@ -43,8 +43,11 @@ from ..utils import ceil_to, dyadic_refine
 LANES = 128
 SUBLANES = 8
 MAX_ROWS = 8192
-# batch threshold between the two slab layouts
-PS_LAYOUT_MAX_B = 64
+# batch threshold between the two slab layouts: up to 128 pairs ride the
+# sublane axis -- a (128, L) slab keeps the whole fused-adjoint stack
+# machinery (pairs-on-sublanes only) AND makes the aligned pairs-minor
+# stream construction's per-row flat shift a full 512-byte vector row
+PS_LAYOUT_MAX_B = 128
 
 
 def supported(inc: jnp.ndarray) -> bool:
@@ -299,12 +302,79 @@ def _pad_shear(inc: jnp.ndarray, dma_batch: int):
     return sk, n_steps, row_axis, slab
 
 
+# ---------------------------------------------------------------------------
+# Aligned (pairs-minor) stream construction
+#
+# The legacy builders above shear with the pair axis MAJOR: the truncating
+# flat-stride reshape then shifts each row's flat offset by ONE ELEMENT
+# (4 bytes), and XLA lowers that to an element shuffle -- measured 51 GB/s
+# against 689 GB/s for a plain copy (scripts/stream_probe.py, round 3; this
+# single pass dominated the whole benchmark step). With the PAIR axis minor
+# the same trick shifts rows by P*4 bytes -- a whole vector row once
+# P*4 >= 256 -- and the reshape becomes an aligned block copy (measured
+# 358 GB/s at P=128). The final transpose back into the kernel's
+# (W, P, L) slab order is a minor-dim swap, which the TPU does near copy
+# speed (~740 GB/s measured).
+# ---------------------------------------------------------------------------
+
+# minimum pair-minor byte width for the aligned path to win: 512B (one
+# full f32 vector row) runs at ~358 GB/s; 256B was measured still
+# shuffle-bound (stream_probe.py round-3 runs C vs H1)
+ALIGNED_MIN_PAIR_BYTES = 512
+
+
+def _aligned_streams_ps(planes, f: int, dma_batch: int, slab):
+    """Aligned pairs-minor stream construction for pairs-on-sublanes slabs.
+
+    ``planes``: list of (B, Mb, Nb) base increment grids (all identical
+    shape; e.g. the df64 hi/lo pair), already scaled for refinement.
+    Returns a list of ``(W, P, L)`` streams matching the legacy
+    ``_stretch_stream`` (``f > 1``: entry k = stretched base diagonal k,
+    offset 0) / ``_pad_shear`` (``f == 1``: step q at q + IN_OFF) layout.
+
+    Chain: one transpose to pairs-minor (minor swap, fast), pad, ALIGNED
+    flat-stride shear, interleaved row-repeat on the major axis, and a
+    final minor-swap transpose into slab order.
+    """
+    B, Mb, Nb = planes[0].shape
+    P_dim, L = slab                        # pairs-on-sublanes slab
+    R_rows = -(-L // f)
+    if f > 1:
+        V = Mb + Nb
+        W0 = ceil_to(max(V + dma_batch + 1, Nb + R_rows + 1), LANES)
+        lead = 0                           # kernel roll supplies the i-1
+    else:
+        n_steps = Mb + Nb - 1
+        W0 = ceil_to(n_steps + IN_OFF + dma_batch, LANES)
+        lead = 1                           # top boundary row inside the pad
+    W = W0 - 1
+    outs = []
+    for x in planes:
+        xT = jnp.transpose(x, (1, 2, 0))   # (Mb, Nb, B): minor swap, fast
+        xp = jnp.pad(xT, ((lead, R_rows - Mb - lead + 1),
+                          (0, W0 - Nb), (0, P_dim - B)))
+        S = xp.reshape((R_rows + 1) * W0, P_dim)[: (R_rows + 1) * W]
+        S = S.reshape(R_rows + 1, W, P_dim)[:R_rows]
+        if f > 1:
+            S = jnp.repeat(S, f, axis=0)[:L]   # refined rows (major axis)
+        outs.append(jnp.transpose(S, (1, 2, 0)))   # (W, P, L)
+    return outs
+
+
+def _use_aligned(B: int, slab, row_axis: int, itemsize: int = 4) -> bool:
+    """Aligned path gate: pairs-on-sublanes slabs with a wide-enough pair
+    minor (the construction pads pairs to the slab's sublane count)."""
+    if row_axis != 1:
+        return False
+    return slab[0] * itemsize >= ALIGNED_MIN_PAIR_BYTES
+
+
 # HBM budget for one chunk's sheared increment stream (per f32 plane)
 # sheared-stream budget per kernel launch. XLA materialises ~3 copies of
 # the stream (pad, reshape, transpose), so keep budget*3 well under HBM;
 # 4.5 GB keeps the benchmark config (64 f64 pairs at 2046^2, 2 planes,
 # ~67 MB/pair) in a single launch, which measured ~12 GB peak HBM.
-CHUNK_BYTES = 9 << 29
+CHUNK_BYTES = 19 << 29
 
 
 def pair_chunk(MM: int, NN: int, planes: int = 1) -> int:
@@ -436,12 +506,20 @@ def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int):
     f = 2 ** dyadic_order
     B, Mb, Nb = inc3.shape
     if f == 1:
+        row_axis, slab, _ = _layout(B, Mb)
+        if _use_aligned(B, slab, row_axis):
+            (sk,) = _aligned_streams_ps([inc3.astype(jnp.float32)], 1,
+                                        dma_batch, slab)
+            return sk, Mb + Nb - 1, row_axis, slab, 1
         sk, n_steps, row_axis, slab = _pad_shear(inc3, dma_batch)
         return sk, n_steps, row_axis, slab, f
     MM, NN = Mb * f, Nb * f
     row_axis, slab, _ = _layout(B, MM)
     base = inc3.astype(jnp.float32) * jnp.float32(1.0 / (f * f))  # exact
-    sk = _stretch_stream(base, f, dma_batch, row_axis, slab)
+    if _use_aligned(B, slab, row_axis):
+        (sk,) = _aligned_streams_ps([base], f, dma_batch, slab)
+    else:
+        sk = _stretch_stream(base, f, dma_batch, row_axis, slab)
     return sk, MM + NN - 1, row_axis, slab, f
 
 

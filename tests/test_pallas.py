@@ -167,3 +167,16 @@ def test_stretched_stream_pairs_on_lanes(rng):
     want = np.asarray(ss.solve_final(ref))
     got = np.asarray(pallas_solver._solve_final_one(inc, False, 1))
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
+@pytest.mark.parametrize("dyadic_order", [0, 1])
+def test_pallas_wide_sublane_batch(rng, dyadic_order):
+    """65..128 pairs now ride the sublane axis as one (128, L) slab (the
+    geometry the aligned 512B-shift stream construction requires); the
+    legacy threshold sent them to pairs-on-lanes."""
+    from sigkernel_tpu.utils import dyadic_refine
+
+    inc = jnp.asarray(rng.normal(size=(96, 5, 6)) * 0.1, dtype=jnp.float32)
+    want = np.asarray(scan_solver.solve_final(dyadic_refine(inc, dyadic_order)))
+    got = np.asarray(pallas_solver.solve_final(inc, dyadic_order=dyadic_order))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
