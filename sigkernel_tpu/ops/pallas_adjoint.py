@@ -464,16 +464,21 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)
 
 
+def shared_chunk(MM: int, NN: int) -> int:
+    """The pair-chunk size BOTH the stack-emitting df64 forward and the
+    collapsed adjoint must use for their per-chunk stacks to pair up."""
+    return min(pair_chunk(MM, NN, planes=2), PS_LAYOUT_MAX_B)
+
+
 def stack_shareable(B: int, Mb: int, Nb: int, dyadic_order: int) -> bool:
     """Can a forward-emitted hi stack drive the collapsed adjoint? Needs
     the in-kernel-collapse geometry (f in (2, 4), both sides in VMEM,
-    pairs-on-sublanes) and a single pair chunk (the stack is a residual)."""
+    pairs-on-sublanes); any batch size -- the forward emits one stack per
+    shared chunk and the adjoint consumes them chunk-by-chunk."""
+    del B
     f = 2 ** dyadic_order
     MM, NN = Mb * f, Nb * f
-    if f not in (2, 4) or not supported(MM, NN) or MM + 1 > MAX_ROWS:
-        return False
-    chunk = min(pair_chunk(MM, NN, planes=2), PS_LAYOUT_MAX_B)
-    return B <= chunk
+    return f in (2, 4) and supported(MM, NN) and MM + 1 <= MAX_ROWS
 
 
 def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
@@ -505,24 +510,16 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
 
     T = MM + NN - 1
     pad_f = _pad_f(f)
-    chunk = min(pair_chunk(MM, NN, planes=2), PS_LAYOUT_MAX_B)
-    assert fwd_stack is None or B0 <= chunk
+    chunk = shared_chunk(MM, NN)
 
-    def one(args):
+    def one_core(inc_c, g_c, S_f):
         from .pallas_solver import (_stretch_stream, _aligned_streams_ps,
                                     _use_aligned)
 
-        inc_c, g_c = args
         B = inc_c.shape[0]
         P = ceil_to(B, SUBLANES)
         L_f = ceil_to(MM + 1, LANES)
         L_r = ceil_to(NN + 1, LANES)
-
-        if fwd_stack is not None:
-            S_f = fwd_stack
-        else:
-            S_f = _solve_stack_one(inc_c, naive, dyadic_order,
-                                   out_pad=pad_f)
         assert S_f.shape[1:] == (P, L_f), "fused adjoint needs P-S layout"
 
         rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
@@ -567,4 +564,27 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         K = flat.reshape(P, Mb, Tp_out + 1)[:, :, 2: 2 + Nb]
         return K[:B] * jnp.float32(1.0 / (f * f))
 
-    return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)
+    g32 = g.astype(jnp.float32)
+    if fwd_stack is None:
+        def one(args):
+            inc_c, g_c = args
+            S_f = _solve_stack_one(inc_c, naive, dyadic_order,
+                                   out_pad=pad_f)
+            return one_core(inc_c, g_c, S_f)
+
+        return _chunk_map(one, (inc32, g32), chunk)
+
+    # per-chunk stacks from the stack-emitting forward (same shared chunk)
+    if B0 <= chunk:
+        # single launch: the forward ran at the NATURAL batch (its stack
+        # slab is ceil(B0, SUBLANES) wide, not chunk) -- mirror it
+        return one_core(inc32, g32, fwd_stack[0])
+    Bp = ceil_to(B0, chunk)
+    nc = Bp // chunk
+    assert fwd_stack.shape[0] == nc, (fwd_stack.shape, nc)
+    inc4 = jnp.pad(inc32, ((0, Bp - B0), (0, 0), (0, 0))).reshape(
+        nc, chunk, Mb, Nb)
+    g4 = jnp.pad(g32, (0, Bp - B0)).reshape(nc, chunk)
+    out = jax.lax.map(lambda a: one_core(a[0], a[1], a[2]),
+                      (inc4, g4, fwd_stack))
+    return out.reshape(Bp, Mb, Nb)[:B0]

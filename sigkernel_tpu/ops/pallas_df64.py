@@ -536,18 +536,42 @@ def solve_final_df_stack(hi: jnp.ndarray, lo: jnp.ndarray,
     stack (entry q at q + stack_pad) for the fused adjoint to consume --
     one sweep serves both the forward value and the backward's recompute.
 
-    Single-launch only (the caller gates on batch <= pair chunk, no
-    transpose, pairs-on-sublanes). Returns ``(values (B,), stack)``.
+    Returns ``(values (B,), stacks (n_chunks, Tp, P, L))``: the batch is
+    chunked with the SAME chunk size the fused adjoint uses
+    (``pallas_adjoint`` shared chunk), so each stack entry pairs with the
+    adjoint's corresponding chunk (zero-padded tail pairs solve to the
+    constant-1 boundary; their cotangent is zeroed by ``g``). The caller
+    gates on geometry (no transpose, pairs-on-sublanes).
     """
     import math
 
+    from .pallas_adjoint import shared_chunk
+    from ..utils import ceil_to as _ceil
+
+    f = 2 ** dyadic_order
     batch_shape = hi.shape[:-2]
+    Mb, Nb = hi.shape[-2], hi.shape[-1]
     B = math.prod(batch_shape)
     hi3 = hi.reshape((B,) + hi.shape[-2:])
     lo3 = lo.reshape((B,) + lo.shape[-2:])
-    val, stk = _solve_final_one_df(hi3, lo3, naive, dyadic_order,
+    chunk = shared_chunk(Mb * f, Nb * f)
+    if B <= chunk:
+        val, stk = _solve_final_one_df(hi3, lo3, naive, dyadic_order,
+                                       stack_pad=stack_pad)
+        return val.reshape(batch_shape), stk[None]
+    Bp = _ceil(B, chunk)
+    hi4 = jnp.pad(hi3, ((0, Bp - B), (0, 0), (0, 0)))
+    lo4 = jnp.pad(lo3, ((0, Bp - B), (0, 0), (0, 0)))
+    hi4 = hi4.reshape(Bp // chunk, chunk, Mb, Nb)
+    lo4 = lo4.reshape(Bp // chunk, chunk, Mb, Nb)
+
+    def one(args):
+        h, l = args
+        return _solve_final_one_df(h, l, naive, dyadic_order,
                                    stack_pad=stack_pad)
-    return val.reshape(batch_shape), stk
+
+    val, stk = jax.lax.map(one, (hi4, lo4))   # (nc, chunk), (nc, Tp, P, L)
+    return val.reshape(Bp)[:B].reshape(batch_shape), stk
 
 
 @functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))

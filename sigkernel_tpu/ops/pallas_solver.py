@@ -348,13 +348,17 @@ def _aligned_streams_ps(planes, f: int, dma_batch: int, slab):
         W0 = ceil_to(n_steps + IN_OFF + dma_batch, LANES)
         lead = 1                           # top boundary row inside the pad
     W = W0 - 1
+    R_tot = L if f == 1 else R_rows
     outs = []
     for x in planes:
         xT = jnp.transpose(x, (1, 2, 0))   # (Mb, Nb, B): minor swap, fast
-        xp = jnp.pad(xT, ((lead, R_rows - Mb - lead + 1),
+        xp = jnp.pad(xT, ((lead, R_tot - Mb - lead),
                           (0, W0 - Nb), (0, P_dim - B)))
-        S = xp.reshape((R_rows + 1) * W0, P_dim)[: (R_rows + 1) * W]
-        S = S.reshape(R_rows + 1, W, P_dim)[:R_rows]
+        # truncating flat-stride reshape: row r of the view starts one
+        # pair-row (P_dim*4 bytes -- aligned) later each row, realising the
+        # shear; the last view row stays in bounds (R_tot*W < R_tot*W0)
+        S = xp.reshape(R_tot * W0, P_dim)[: R_tot * W]
+        S = S.reshape(R_tot, W, P_dim)
         if f > 1:
             S = jnp.repeat(S, f, axis=0)[:L]   # refined rows (major axis)
         outs.append(jnp.transpose(S, (1, 2, 0)))   # (W, P, L)

@@ -99,7 +99,8 @@ def test_hi_stack_matches_stack_solve(rng, dyadic_order):
         hi, lo, dyadic_order=dyadic_order, stack_pad=pad_f)
     want_stack = np.asarray(_solve_stack_one(inc, False, dyadic_order,
                                              out_pad=pad_f))
-    got = np.asarray(stk)[pad_f:pad_f + n_steps]
+    assert stk.shape[0] == 1  # one shared chunk at this batch
+    got = np.asarray(stk)[0, pad_f:pad_f + n_steps]
     np.testing.assert_allclose(got, want_stack[pad_f:pad_f + n_steps],
                                rtol=2e-5, atol=2e-6)
 
@@ -143,3 +144,32 @@ def test_stack_shared_vjp_route(rng, monkeypatch):
     scale = np.abs(np.asarray(g_sc)).max()
     np.testing.assert_allclose(np.asarray(g_df), np.asarray(g_sc),
                                atol=3e-5 * scale, rtol=0)
+
+
+def test_hi_stack_sharing_chunked(rng, monkeypatch):
+    """Stack sharing across MULTIPLE pair chunks: the forward emits one
+    stack per shared chunk; the adjoint consumes them chunk-by-chunk and
+    must match the self-solved cotangent (round-3: sharing no longer
+    requires a single launch)."""
+    from sigkernel_tpu.ops import pallas_df64, pallas_adjoint
+
+    monkeypatch.setattr(pallas_adjoint, "PS_LAYOUT_MAX_B", 4)
+    B, Mb, Nb, dyadic_order = 10, 6, 5, 1
+    pad_f = pallas_adjoint._pad_f(2 ** dyadic_order)
+    inc = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1, jnp.float32)
+    hi, lo = inc, jnp.zeros_like(inc)
+
+    val, stk = pallas_df64.solve_final_df_stack(
+        hi, lo, dyadic_order=dyadic_order, stack_pad=pad_f)
+    assert stk.shape[0] == 3  # ceil(10 / 4) chunks
+    want_val = np.asarray(pallas_df64.solve_final_df(
+        hi, lo, dyadic_order=dyadic_order))
+    np.testing.assert_allclose(np.asarray(val), want_val, rtol=1e-12)
+
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    ct_shared = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=dyadic_order, fwd_stack=stk))
+    ct_self = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=dyadic_order))
+    assert ct_shared.shape == (B, Mb, Nb)
+    np.testing.assert_allclose(ct_shared, ct_self, rtol=2e-5, atol=2e-6)
