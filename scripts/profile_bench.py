@@ -29,9 +29,9 @@ def run_traced(out_dir):
 
     jax.config.update("jax_enable_x64", True)
     rng = np.random.default_rng(0)
-    X = jnp.asarray(rng.normal(size=(8, 1024, 3)).cumsum(axis=1)
+    X = jnp.asarray(rng.normal(size=(16, 1024, 3)).cumsum(axis=1)
                     * (1.0 / np.sqrt(1024)), jnp.float64)
-    Y = jnp.asarray(rng.normal(size=(8, 1024, 3)).cumsum(axis=1)
+    Y = jnp.asarray(rng.normal(size=(16, 1024, 3)).cumsum(axis=1)
                     * (1.0 / np.sqrt(1024)), jnp.float64)
     kernel = sk.RBFKernel(1.0)
 
