@@ -1,0 +1,135 @@
+"""Slope-based stage budget of the benchmark fwd+bwd step (round 3).
+
+Times each pipeline stage of the df64 stack-shared Gram step at the exact
+benchmark geometry (128 pairs, len 1024, dyadic 1) by chaining N data-
+dependent iterations inside one jit (the relay's ~27 ms dispatch cost and
+any constant folding amortize across N; per-iter cost is the slope between
+two N values).
+
+Run on the chip:  python scripts/stage_probe.py 2>&1 | grep -v WARNING
+"""
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_enable_x64", True)
+
+from sigkernel_tpu.ops import df_prep, pallas_df64, pallas_adjoint
+from sigkernel_tpu.ops.pallas_df64 import (_pad_skew_components,
+                                           _solve_final_one_df)
+from sigkernel_tpu.ops.pallas_adjoint import _pad_f
+
+A, B, LEN, D, DYADIC = 8, 16, 1024, 3, 1
+SIGMA = 1.0
+F = 2 ** DYADIC
+
+rng = np.random.default_rng(0)
+X = jnp.asarray(rng.normal(size=(A, LEN, D)).cumsum(1) / np.sqrt(LEN))
+Y = jnp.asarray(rng.normal(size=(B, LEN, D)).cumsum(1) / np.sqrt(LEN))
+
+
+def chain(fn, x0, n):
+    """Run fn n times with data dependence; returns a scalar."""
+    def body(c, _):
+        out = fn(c)
+        # fold the output back into the carry so nothing is elided
+        return c * (1.0 + 1e-12 * out), out
+    c, outs = jax.lax.scan(body, x0, jnp.arange(n))
+    return outs.sum()
+
+
+def timeit(label, make_fn, x0, ns=(2, 6)):
+    ts = {}
+    for n in ns:
+        f = jax.jit(lambda x, n=n: chain(make_fn, x, n))
+        float(f(x0))            # compile + warm
+        best = 1e9
+        for _ in range(2):
+            jax.block_until_ready(x0)
+            t0 = time.perf_counter()
+            float(f(x0))
+            best = min(best, time.perf_counter() - t0)
+        ts[n] = best
+    slope = (ts[ns[1]] - ts[ns[0]]) / (ns[1] - ns[0])
+    print(f"{label:34s} {slope*1e3:9.2f} ms/iter   "
+          f"(t{ns[0]}={ts[ns[0]]*1e3:.1f} t{ns[1]}={ts[ns[1]]*1e3:.1f})")
+    return slope
+
+
+print("devices:", jax.devices())
+
+# ---- stage 1: df prep forward ------------------------------------------
+def prep(X):
+    hi, lo = df_prep.rbf_increments_df(X, Y, SIGMA, gram=True)
+    return hi.sum() + lo.sum()
+
+timeit("1. df_prep fwd (RBF dd, 128 prs)", prep, X)
+
+# materialize prep outputs for later stages
+hi4, lo4 = df_prep.rbf_increments_df(X, Y, SIGMA, gram=True)
+hi3 = hi4.reshape(A * B, LEN - 1, LEN - 1)
+lo3 = lo4.reshape(A * B, LEN - 1, LEN - 1)
+jax.block_until_ready((hi3, lo3))
+
+# ---- stage 2: stream construction --------------------------------------
+def streams(h):
+    skh, skl, *_ = _pad_skew_components(h, lo3, DYADIC)
+    return skh[::97].sum() + skl[::97].sum()
+
+timeit("2. fwd stream construction", streams, hi3)
+
+# ---- stage 3: df64 forward kernel + stack emission ---------------------
+PADF = _pad_f(F)
+
+def fwd_kernel(h):
+    val, stk = _solve_final_one_df(h, lo3, False, DYADIC, stack_pad=PADF)
+    return val.sum() + stk[::131].sum()
+
+timeit("3. df64 fwd kernel (+hi stack)", fwd_kernel, hi3)
+
+# value-only (no stack) for comparison
+def fwd_nostack(h):
+    val = _solve_final_one_df(h, lo3, False, DYADIC)
+    return val.sum()
+
+timeit("3b. df64 fwd kernel (no stack)", fwd_nostack, hi3)
+
+# ---- stage 4: fused collapsed adjoint (with given stack) ---------------
+val, stk = _solve_final_one_df(hi3, lo3, False, DYADIC, stack_pad=PADF)
+jax.block_until_ready(stk)
+g = jnp.ones((A * B,), jnp.float32)
+
+def adj(h):
+    ct = pallas_adjoint.adjoint_fused_collapsed(
+        h, g, naive=False, dyadic_order=DYADIC, fwd_stack=stk[None])
+    return ct.sum()
+
+timeit("4. fused collapsed adjoint", adj, hi3)
+
+# adjoint including its own stack solve (non-shared path)
+def adj_own(h):
+    ct = pallas_adjoint.adjoint_fused_collapsed(
+        h, g, naive=False, dyadic_order=DYADIC)
+    return ct.sum()
+
+timeit("4b. adjoint incl. own stack solve", adj_own, hi3)
+
+# ---- stage 5: prep VJP --------------------------------------------------
+ct = jnp.ones((A, B, LEN - 1, LEN - 1), jnp.float32)
+x32 = X.astype(jnp.float32)
+y32 = Y.astype(jnp.float32)
+
+def prep_vjp(x):
+    _, vjp = jax.vjp(
+        lambda a: df_prep._rbf_dd_f32(a, y32, jnp.float32(SIGMA), True), x)
+    (gx,) = vjp(ct)
+    return gx.sum()
+
+timeit("5. df_prep VJP (f32)", prep_vjp, x32)
+
+print("done")

@@ -369,6 +369,259 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                           isem.at[_ix(5)]).wait()
 
 
+def ckpt_pairs(T: int, f: int) -> int:
+    """Checkpoint pairs in the sparse forward stack for a T-step sweep.
+
+    One pair per adjoint DMA window (entries ``(T-6-m*C, T-5-m*C)``,
+    ``C = TB*f``) plus one anchor pair for the last window. The stack
+    allocates ``2*ckpt_pairs(T, f) + 2`` slabs (2 seed slots at the tail).
+    """
+    C = TB * f
+    n_batches = -(-(-(-T // f)) // TB)
+    return n_batches + 1
+
+
+def ckpt_supported(T: int, f: int) -> bool:
+    """Sparse-stack geometry gate: the residue algebra needs the top
+    stored pair (T-6, T-5) to exist and a full first window."""
+    return f in (2, 4) and T - 6 >= TB * f
+
+
+def _product_ckpt_kernel(rinc_hbm, fsk_hbm, ckpt_hbm, g_ref, out_hbm,
+                         state, ibuf, fibuf, pibuf, cbuf, block, fstate,
+                         acc, obuf, isem, carry,
+                         *, n_steps, MM, NN, L_f, naive, refine):
+    """Collapse-product kernel consuming a SPARSE (checkpointed) forward
+    stack: only 2 of every ``C = TB*refine`` forward diagonals were stored
+    (the per-window checkpoint pair); the other ``C-2`` are recomputed here
+    by an in-kernel f32 forward sweep re-anchored on the stored pair each
+    batch. Cuts the forward-stack HBM traffic (the backward's largest
+    pass) ``C/2``-fold at the cost of ~one extra f32 sweep of VPU work
+    (measured nearly free: the wavefront is issue-bound, not the budget).
+
+    Inputs vs :func:`_product_collapse_kernel`:
+    - fsk_hbm: FORWARD-orientation row-stretched base increment stream
+      (base slot k at index k, slabs (P, L_f)) -- the same stream the
+      forward solve consumes, reused for the recompute.
+    - ckpt_hbm: sparse stack, pair m = entries ``(T-6-m*C, T-5-m*C)`` at
+      slabs ``(2m, 2m+1)``; junk wherever the entry index is negative
+      (this kernel substitutes the boundary-ones initial state there).
+
+    Scratch: fibuf (2, TB+2, P, L_f) forward-stream windows (base slots
+    ``[(E_b - rho)/f - 1, ...]``); pibuf (3, P, L_f) pre-loop window; cbuf
+    (3, 2, P, L_f) checkpoint pairs (pair m at slot m%3: pairs b, b+1,
+    b+2 are live during batch b); block (C, P, L_f) the reconstructed
+    forward window, consumed descending; fstate (2, P, L_f) recompute
+    ping-pong (entry e at slot e%2). Semaphores: 0-1 rinc, 2-3 fsk,
+    4-5 obuf flush, 6-8 cbuf (by pair%3), 9 pibuf.
+    """
+    P = state.shape[1]
+    L_r = state.shape[2]
+    f = refine
+    C = TB * f
+    FT = TB + 2
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, TB)
+    T = n_steps
+    rho = (T - 4) % f          # E_b mod f, the same for every window
+    pi0 = (T - 4) % 2          # E_b mod 2 (C is even)
+    ii = lax.broadcasted_iota(jnp.int32, (P, L_r), 1)
+    iif = lax.broadcasted_iota(jnp.int32, (P, L_f), 1)
+    one = jnp.float32(1.0)
+    ones_f = jnp.ones((P, L_f), jnp.float32)
+    zslab = jnp.zeros((P, L_f), jnp.float32)
+    A = (T - 3) // f           # flush index algebra (as collapse kernel)
+    r0 = (T - 3) % f
+
+    state[0] = jnp.ones((P, L_r), jnp.float32)
+    state[1] = jnp.ones((P, L_r), jnp.float32)
+    acc[0] = zslab
+    acc[1] = zslab
+
+    # ---- forward-recompute helpers -------------------------------------
+
+    def f_u(kk, s_e, fb, base):
+        """Refined forward increment for recomputed diagonal ``e``:
+        parity-select between base slots ``kk = e//f`` (traced) and
+        ``kk-1`` then roll -- the forward kernel's in-kernel refinement.
+        ``fb``: callable slot -> slab (buffer abstraction); ``base``: the
+        base slot held at buffer position 0. Out-of-range slots read
+        clamped junk and are substituted with exact zeros."""
+        cur = fb(lax.max(kk - base, jnp.int32(0)))
+        prv = fb(lax.max(kk - 1 - base, jnp.int32(0)))
+        cur = jnp.where(kk >= 0, cur, 0.0)
+        prv = jnp.where(kk - 1 >= 0, prv, 0.0)
+        sel = lax.rem(iif, jnp.int32(f)) <= s_e
+        pre = jnp.where(sel, cur, prv)
+        return pltpu.roll(pre, jnp.int32(1), axis=1)
+
+    def f_step(e, u, j, out_j):
+        """One f32 forward step producing diagonal ``e = E + j`` into
+        ``block[out_j]``; ping-pong slot of entry e is e%2 = (pi0 + j)%2
+        (static per unrolled j)."""
+        sp = (pi0 + j) % 2
+        vm1 = fstate[1 - sp]
+        k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+        k00 = pltpu.roll(fstate[sp], jnp.int32(1), axis=1)
+        v = _scheme(k00, k01, vm1, u, naive)
+        v = jnp.where((iif == 0) | (iif == e + 2) | (iif > MM), one, v)
+        fstate[sp] = v
+        block[out_j] = v
+
+    # ---- collapse/flush (same dataflow as _product_collapse_kernel) ----
+
+    def flush(slot, k_entry):
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).wait()
+        obuf[slot] = acc[slot]
+        acc[slot] = zslab
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).start()
+
+    def accumulate(prod, q_mod_f, k_par):
+        sel = lax.rem(iif, jnp.int32(f)) <= q_mod_f
+        acc[k_par] = acc[k_par] + jnp.where(sel, prod, 0.0)
+        acc[1 - k_par] = acc[1 - k_par] + jnp.where(sel, 0.0, prod)
+
+    # seed the per-slot flush-wait chains (entries V+2, V+3 never read)
+    V = n_slots + 1
+    obuf[0] = zslab
+    obuf[1] = zslab
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(V + 2)],
+                          isem.at[_ix(4)]).start()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(V + 3)],
+                          isem.at[_ix(5)]).start()
+
+    # ---- batch-b input set: rinc/fsk windows b, checkpoint pair b+1 ----
+
+    def in_copies(b, slot):
+        E_b = T - 4 - (b + 1) * C
+        s_b = lax.max(lax.div(E_b - jnp.int32(rho), jnp.int32(f)) - 1,
+                      jnp.int32(0))
+        m = b + 1
+        return (
+            pltpu.make_async_copy(rinc_hbm.at[pl.ds(_ix(b * TB), TB)],
+                                  ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
+            pltpu.make_async_copy(fsk_hbm.at[pl.ds(_ix(s_b), FT)],
+                                  fibuf.at[_ix(slot)],
+                                  isem.at[_ix(2 + slot)]),
+            pltpu.make_async_copy(
+                ckpt_hbm.at[pl.ds(_ix(2 * m), 2)],
+                cbuf.at[_ix(lax.rem(jnp.int32(m), jnp.int32(3)))],
+                isem.at[_ix(6 + lax.rem(jnp.int32(m), jnp.int32(3)))]),
+        )
+
+    # ---- pre-loop: load pair 0, recompute entries T-4, T-3, emit the
+    # boundary cotangent diagonals q = T-1, T-2 ---------------------------
+    pre_c = pltpu.make_async_copy(ckpt_hbm.at[pl.ds(_ix(0), 2)],
+                                  cbuf.at[_ix(0)], isem.at[_ix(6)])
+    s_pre = max((T - 4) // f - 1, 0)
+    pre_f = pltpu.make_async_copy(fsk_hbm.at[pl.ds(_ix(s_pre), 3)],
+                                  pibuf, isem.at[_ix(9)])
+    pre_c.start()
+    pre_f.start()
+    for c in in_copies(0, 0):
+        c.start()
+    pre_c.wait()
+    pre_f.wait()
+    gv = g_ref[...]
+    # pair 0 = entries (T-6, T-5) = anchors of the virtual window E = T-4
+    # (both >= 2 by the ckpt_supported gate); entry e at fstate[e % 2]
+    fstate[pi0] = cbuf[0, 0]           # T-6 == E-2 == pi0 (mod 2)
+    fstate[1 - pi0] = cbuf[0, 1]       # T-5
+    pfb = lambda idx: pibuf[idx]
+    f_step(jnp.int32(T - 4),
+           f_u(jnp.int32((T - 4) // f), (T - 4) % f, pfb, s_pre), 0, 0)
+    f_step(jnp.int32(T - 3),
+           f_u(jnp.int32((T - 3) // f), (T - 3) % f, pfb, s_pre), 1, 1)
+    q1, q2 = T - 1, T - 2
+    k1, k2 = q1 // f, q2 // f
+    accumulate(block[1] * gv, q1 % f, k1 % 2)      # F = S_f[T-3]
+    if q1 % f == 0:
+        flush(k1 % 2, jnp.int32(k1))
+    accumulate(block[0] * gv, q2 % f, k2 % 2)      # F = S_f[T-4]
+    # q2 % f == f-1 always (T-2 = f*V - 3): never a flush position
+
+    # ---- steady-state loop ---------------------------------------------
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        # -- rebuild the forward window: block[j] = S_f[E_b + j] ---------
+        E_b = T - 4 - (b + 1) * C
+        s_b = lax.max(lax.div(E_b - jnp.int32(rho), jnp.int32(f)) - 1,
+                      jnp.int32(0))
+        anc = cbuf[lax.rem(b + 1, jnp.int32(3))]
+        fstate[pi0] = jnp.where(E_b - 2 >= 0, anc[0], ones_f)
+        fstate[1 - pi0] = jnp.where(E_b - 1 >= 0, anc[1], ones_f)
+        ffb = lambda idx: fibuf[bslot, idx]
+        for j in range(C - 2):
+            e_mod_f = (rho + j) % f                # static
+            kk = lax.div(E_b + jnp.int32(j - e_mod_f), jnp.int32(f))
+            f_step(E_b + jnp.int32(j), f_u(kk, e_mod_f, ffb, s_b), j, j)
+        top = cbuf[lax.rem(b, jnp.int32(3))]       # pair b = window top two
+        block[C - 2] = jnp.where(E_b + C - 2 >= 0, top[0], ones_f)
+        block[C - 1] = jnp.where(E_b + C - 1 >= 0, top[1], ones_f)
+
+        # -- reverse sweep + in-flight product + collapse ----------------
+        for t in range(TB):
+            for s_i in range(f):
+                q_r = (b * TB + t) * f + s_i
+                sp = s_i % 2   # == q_r % 2 (f even)
+
+                @pl.when(q_r < n_steps)
+                def _(q_r=q_r, t=t, s_i=s_i, sp=sp):
+                    prev = carry[0] if t == 0 else ibuf[bslot, t - 1]
+                    sel = lax.rem(ii, jnp.int32(f)) <= s_i
+                    pre = jnp.where(sel, ibuf[bslot, t], prev)
+                    u = pltpu.roll(pre, jnp.int32(1), axis=1)
+                    vm1 = state[1 - sp]
+                    k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
+                    k00 = pltpu.roll(state[sp], jnp.int32(1), axis=1)
+                    v = _scheme(k00, k01, vm1, u, naive)
+                    v = jnp.where((ii == 0) | (ii == q_r + 2) | (ii > NN),
+                                  one, v)
+                    state[sp] = v
+
+                    q = n_steps - 3 - q_r
+
+                    @pl.when(q >= 0)
+                    def _():
+                        # product stored at lane i-1 (as collapse kernel)
+                        s = jnp.int32(MM - 3 - q_r) % jnp.int32(L_r)
+                        A2 = pltpu.roll(v, s, axis=1)[:, :L_f]
+                        F = block[C - 1 - (t * f + s_i)]
+                        F = jnp.where(q >= 2, F, one)
+                        prod = F * A2 * g_ref[...]
+                        c = 1 if s_i > r0 else 0
+                        k_par = (A + t + c) % 2    # k = A - m - c
+                        accumulate(prod, (r0 - s_i) % f, k_par)
+                        if s_i == r0:              # q % f == 0: k complete
+                            k_dyn = _ix(A) - lax.div(_ix(q_r),
+                                                     jnp.int32(f))
+                            flush(k_par, k_dyn)
+        carry[0] = ibuf[bslot, TB - 1]
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    # drain both flush chains
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(2)],
+                          isem.at[_ix(4)]).wait()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(3)],
+                          isem.at[_ix(5)]).wait()
+
+
 def supported(MM: int, NN: int) -> bool:
     """Both refined sides must fit the VMEM diagonal bound."""
     return (max(MM, NN) + 1 <= MAX_ROWS) and MM + NN - 1 >= 4
@@ -587,4 +840,104 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     g4 = jnp.pad(g32, (0, Bp - B0)).reshape(nc, chunk)
     out = jax.lax.map(lambda a: one_core(a[0], a[1], a[2]),
                       (inc4, g4, fwd_stack))
+    return out.reshape(Bp, Mb, Nb)[:B0]
+
+
+def adjoint_ckpt_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
+                           dyadic_order: int, ckpt_stack) -> jnp.ndarray:
+    """Base-resolution increment cotangent from a SPARSE forward stack.
+
+    ``ckpt_stack``: per-chunk checkpoint stacks emitted by
+    :func:`..pallas_df64.solve_final_df_ckpt` -- shape
+    ``(n_chunks, 2*ckpt_pairs(T, f) + 2, P, L_f)`` with pair m (forward
+    diagonals ``(T-6-m*C, T-5-m*C)``, ``C = TB*f``) at slabs
+    ``(2m, 2m+1)``. The product kernel recomputes the other ``C-2``
+    diagonals per window in-kernel from the forward-orientation base
+    stream, so the backward's forward-stack read shrinks ``C/2``-fold.
+    Caller must have checked :func:`ckpt_supported` (and
+    :func:`stack_shareable` for the chunk pairing).
+    """
+    f = 2 ** dyadic_order
+    inc32 = inc3.astype(jnp.float32)
+    B0, Mb, Nb = inc32.shape
+    MM, NN = Mb * f, Nb * f
+    T = MM + NN - 1
+    assert ckpt_supported(T, f)
+    chunk = shared_chunk(MM, NN)
+
+    def one_core(inc_c, g_c, CK):
+        from .pallas_solver import (_stretch_stream, _aligned_streams_ps,
+                                    _use_aligned)
+
+        B = inc_c.shape[0]
+        P = ceil_to(B, SUBLANES)
+        L_f = ceil_to(MM + 1, LANES)
+        L_r = ceil_to(NN + 1, LANES)
+        assert CK.shape[1:] == (P, L_f), "ckpt adjoint needs P-S layout"
+
+        s = jnp.float32(1.0 / (f * f))
+        rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
+        rb = rbase * s                                     # (B, Nb, Mb)
+        fb = inc_c * s                                     # (B, Mb, Nb)
+        if _use_aligned(B, (P, L_r), 1):
+            (rsk,) = _aligned_streams_ps([rb], f, TB, (P, L_r))
+        else:
+            rsk = _stretch_stream(rb, f, TB, 1, (P, L_r))
+        if _use_aligned(B, (P, L_f), 1):
+            (fsk,) = _aligned_streams_ps([fb], f, TB + 4, (P, L_f))
+        else:
+            fsk = _stretch_stream(fb, f, TB + 4, 1, (P, L_f))
+
+        gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
+
+        V = -(-T // f) + 1
+        Tp_out = ceil_to(V + 4, LANES)
+        C = TB * f
+        kernel = functools.partial(_product_ckpt_kernel, n_steps=T,
+                                   MM=MM, NN=NN, L_f=L_f, naive=naive,
+                                   refine=f)
+        cot_b = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Tp_out, P, L_f), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, P, L_r), jnp.float32),       # state
+                pltpu.VMEM((2, TB, P, L_r), jnp.float32),   # ibuf
+                pltpu.VMEM((2, TB + 2, P, L_f), jnp.float32),  # fibuf
+                pltpu.VMEM((3, P, L_f), jnp.float32),       # pibuf
+                pltpu.VMEM((3, 2, P, L_f), jnp.float32),    # cbuf
+                pltpu.VMEM((C, P, L_f), jnp.float32),       # block
+                pltpu.VMEM((2, P, L_f), jnp.float32),       # fstate
+                pltpu.VMEM((2, P, L_f), jnp.float32),       # acc
+                pltpu.VMEM((2, P, L_f), jnp.float32),       # obuf
+                pltpu.SemaphoreType.DMA((10,)),
+                pltpu.VMEM((1, P, L_r), jnp.float32),       # carry
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(rsk, fsk, CK, gp)
+
+        # f-aligned lane-block sum (products live at lane i-1), base
+        # unshear (entry kb at kb + 2: flat-stride, tail pad only), scale
+        Ds = cot_b[:, :, : f * Mb].reshape(Tp_out, P, Mb, f).sum(-1)
+        DT = jnp.transpose(Ds, (1, 2, 0))                  # (P, Mb, Tp_out)
+        flat = jnp.pad(DT.reshape(P, Mb * Tp_out), ((0, 0), (0, Mb)))
+        K = flat.reshape(P, Mb, Tp_out + 1)[:, :, 2: 2 + Nb]
+        return K[:B] * jnp.float32(1.0 / (f * f))
+
+    g32 = g.astype(jnp.float32)
+    if B0 <= chunk:
+        return one_core(inc32, g32, ckpt_stack[0])
+    Bp = ceil_to(B0, chunk)
+    nc = Bp // chunk
+    assert ckpt_stack.shape[0] == nc, (ckpt_stack.shape, nc)
+    inc4 = jnp.pad(inc32, ((0, Bp - B0), (0, 0), (0, 0))).reshape(
+        nc, chunk, Mb, Nb)
+    g4 = jnp.pad(g32, (0, Bp - B0)).reshape(nc, chunk)
+    out = jax.lax.map(lambda a: one_core(a[0], a[1], a[2]),
+                      (inc4, g4, ckpt_stack))
     return out.reshape(Bp, Mb, Nb)[:B0]

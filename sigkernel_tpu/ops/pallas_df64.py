@@ -169,8 +169,9 @@ def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
 
 def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                          sh_ref, sl_ref, ibh, ibl, isem, carryh, carryl,
-                         *, n_steps, MM, row_axis, naive, grid_out,
-                         out_offset=0, refine=1, hi_stack=False):
+                         ckbuf=None, *, n_steps, MM, row_axis, naive,
+                         grid_out, out_offset=0, refine=1, hi_stack=False,
+                         ckpt_c=0):
     """Double-double wavefront; ``refine > 1`` consumes the row-stretched
     base stream (select + roll per step; see
     ``pallas_solver._wavefront_kernel`` for the refinement contract).
@@ -182,7 +183,15 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
       stack streamed to ``stk_ref`` (entry q at q+out_offset). The
       f32-rounded-from-df64 stack is exactly what the fused adjoint
       consumes, so a fwd+bwd step reuses the forward sweep instead of
-      re-solving."""
+      re-solving;
+    - ``ckpt_c = C > 0``: final hi/lo value slabs PLUS a SPARSE hi stack:
+      only the per-window checkpoint pairs (diagonals ``T-6-m*C`` at slab
+      ``2m``, ``T-5-m*C`` at ``2m+1``; the layout of
+      ``pallas_adjoint.ckpt_pairs``) are written, ``C/2``x less stack
+      traffic; the ckpt-consuming adjoint recomputes the rest in-kernel.
+      Writes stage through ``ckbuf`` (2 slabs, per-slot wait chains seeded
+      against the 2 spare slabs at the stack tail) so the ping-pong state
+      is never DMA-live when overwritten."""
     T = DMA_BATCH
     f = refine
     slab = sh_ref.shape[1:]
@@ -197,6 +206,38 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
     sh_ref[1] = jnp.ones(slab, jnp.float32)
     sl_ref[0] = jnp.zeros(slab, jnp.float32)
     sl_ref[1] = jnp.zeros(slab, jnp.float32)
+
+    if ckpt_c:
+        # residues of the checkpoint diagonals mod C (static; the
+        # ckpt_supported gate guarantees n_steps - 6 >= C >= 0)
+        r_lo = (n_steps - 6) % ckpt_c
+        r_hi = (n_steps - 5) % ckpt_c
+        n_seed = stk_ref.shape[0] - 2      # 2 spare slabs at the tail
+        ckbuf[0] = jnp.zeros(slab, jnp.float32)
+        ckbuf[1] = jnp.zeros(slab, jnp.float32)
+        pltpu.make_async_copy(ckbuf.at[_ix(0)], stk_ref.at[_ix(n_seed)],
+                              isem.at[_ix(4)]).start()
+        pltpu.make_async_copy(ckbuf.at[_ix(1)], stk_ref.at[_ix(n_seed + 1)],
+                              isem.at[_ix(5)]).start()
+
+        def ckpt_write(q, vh):
+            """If diagonal ``q`` is a checkpoint entry, stage + stream it
+            (per-slot chains: wait the previous same-slot copy first)."""
+            qi = jnp.int32(0) + q          # q may be a python int mix
+            rem = lax.rem(qi, jnp.int32(ckpt_c))
+            for off, r in ((0, r_lo), (1, r_hi)):
+                @pl.when(rem == jnp.int32(r))
+                def _(off=off):
+                    # the wait index is irrelevant to the semaphore
+                    pltpu.make_async_copy(ckbuf.at[_ix(off)],
+                                          stk_ref.at[_ix(n_seed)],
+                                          isem.at[_ix(4 + off)]).wait()
+                    ckbuf[off] = vh
+                    m = lax.div(jnp.int32(n_steps - 6 + off) - qi,
+                                jnp.int32(ckpt_c))
+                    pltpu.make_async_copy(ckbuf.at[_ix(off)],
+                                          stk_ref.at[_ix(2 * m + off)],
+                                          isem.at[_ix(4 + off)]).start()
 
     def in_copy(b, slot):
         ds = pl.ds(_ix(b * T + in_off), T)
@@ -239,6 +280,8 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                     sh_ref.at[_ix(vm2)],
                     stk_ref.at[_ix(q - 2 + out_offset)],
                     isem.at[_ix(4 + sp)]).wait()
+        if ckpt_c:
+            ckpt_write(q, vh)
         sh_ref[vm2] = vh
         sl_ref[vm2] = vl
         if grid_out:
@@ -326,6 +369,12 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                     sh_ref.at[_ix(1 - last)],
                     stk_ref.at[_ix(n_steps - 2 + out_offset)],
                     isem.at[_ix(4 + (1 - last))]).wait()
+        if ckpt_c:
+            # drain both checkpoint chains (index irrelevant to the wait)
+            for off in (0, 1):
+                pltpu.make_async_copy(ckbuf.at[_ix(off)],
+                                      stk_ref.at[_ix(n_seed)],
+                                      isem.at[_ix(4 + off)]).wait()
         outh_ref[...] = sh_ref[last]
         outl_ref[...] = sl_ref[last]
 
@@ -383,8 +432,8 @@ def _pad_skew_df(inc: jnp.ndarray, dyadic_order: int = 0):
     return _pad_skew_components(hi, lo, dyadic_order)
 
 
-def _df_scratch(slab):
-    return [
+def _df_scratch(slab, ckpt=False):
+    base = [
         pltpu.VMEM((2,) + slab, jnp.float32),
         pltpu.VMEM((2,) + slab, jnp.float32),
         pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
@@ -393,27 +442,44 @@ def _df_scratch(slab):
         pltpu.VMEM((1,) + slab, jnp.float32),
         pltpu.VMEM((1,) + slab, jnp.float32),
     ]
+    if ckpt:
+        base.append(pltpu.VMEM((2,) + slab, jnp.float32))
+    return base
 
 
 def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
-                        dyadic_order: int = 0, stack_pad=None):
+                        dyadic_order: int = 0, stack_pad=None,
+                        ckpt: bool = False):
     """Final-corner df64 solve; with ``stack_pad`` also returns the hi
-    plane's diagonal stack (entry q at q + stack_pad) for adjoint reuse."""
+    plane's diagonal stack (entry q at q + stack_pad) for adjoint reuse.
+    With ``ckpt`` instead returns the SPARSE checkpoint stack (pair m of
+    diagonals ``(T-6-m*C, T-5-m*C)`` at slabs ``(2m, 2m+1)``, ``C`` from
+    :func:`..pallas_adjoint.ckpt_pairs` geometry) for the checkpoint
+    adjoint -- ``C/2``x less stack HBM traffic than the full stack."""
+    from .pallas_adjoint import TB as ATB, ckpt_pairs, ckpt_supported
+
+    assert not (ckpt and stack_pad is not None)
     B = hi3.shape[0]
     skh, skl, n_steps, row_axis, slab, f = _pad_skew_components(
         hi3, lo3, dyadic_order)
     MM = hi3.shape[-2] * f
     hi_stack = stack_pad is not None
+    ckpt_c = ATB * f if ckpt else 0
     if hi_stack:
         Tp = ceil_to(n_steps + 2, LANES) + stack_pad
         stk_shape, stk_spec = (Tp,) + slab, pl.BlockSpec(memory_space=pl.ANY)
+    elif ckpt:
+        assert row_axis == 1 and ckpt_supported(n_steps, f)
+        stk_shape = (2 * ckpt_pairs(n_steps, f) + 2,) + slab
+        stk_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
         stk_shape = (1, 8, LANES)
         stk_spec = pl.BlockSpec(memory_space=pl.ANY)
     kernel = functools.partial(_wavefront_df_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive,
                                grid_out=False, refine=f, hi_stack=hi_stack,
-                               out_offset=stack_pad if hi_stack else 0)
+                               out_offset=stack_pad if hi_stack else 0,
+                               ckpt_c=ckpt_c)
     outh, outl, stk = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
@@ -423,14 +489,14 @@ def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    stk_spec),
-        scratch_shapes=_df_scratch(slab),
+        scratch_shapes=_df_scratch(slab, ckpt=ckpt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(skh, skl)
     h = _extract_final(outh, row_axis, MM, B)
     l = _extract_final(outl, row_axis, MM, B)
     val = h.astype(jnp.float64) + l.astype(jnp.float64)
-    return (val, stk) if hi_stack else val
+    return (val, stk) if (hi_stack or ckpt) else val
 
 
 def _solve_final_one(inc3: jnp.ndarray, naive: bool,
@@ -571,6 +637,49 @@ def solve_final_df_stack(hi: jnp.ndarray, lo: jnp.ndarray,
                                    stack_pad=stack_pad)
 
     val, stk = jax.lax.map(one, (hi4, lo4))   # (nc, chunk), (nc, Tp, P, L)
+    return val.reshape(Bp)[:B].reshape(batch_shape), stk
+
+
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final_df_ckpt(hi: jnp.ndarray, lo: jnp.ndarray,
+                        naive: bool = False, dyadic_order: int = 0):
+    """Df64 final-corner solve emitting the SPARSE checkpoint stack for
+    :func:`..pallas_adjoint.adjoint_ckpt_collapsed` -- the fwd+bwd step's
+    forward-stack HBM traffic (write here, read there) shrinks
+    ``TB*f/2``-fold vs :func:`solve_final_df_stack`; the adjoint recomputes
+    the skipped diagonals in-kernel from the base increment stream.
+
+    Same chunking contract as :func:`solve_final_df_stack` (the adjoint
+    consumes the stacks chunk-by-chunk). Caller gates on
+    :func:`..pallas_adjoint.ckpt_supported` + ``stack_shareable``.
+    """
+    import math
+
+    from .pallas_adjoint import shared_chunk
+    from ..utils import ceil_to as _ceil
+
+    f = 2 ** dyadic_order
+    batch_shape = hi.shape[:-2]
+    Mb, Nb = hi.shape[-2], hi.shape[-1]
+    B = math.prod(batch_shape)
+    hi3 = hi.reshape((B,) + hi.shape[-2:])
+    lo3 = lo.reshape((B,) + lo.shape[-2:])
+    chunk = shared_chunk(Mb * f, Nb * f)
+    if B <= chunk:
+        val, stk = _solve_final_one_df(hi3, lo3, naive, dyadic_order,
+                                       ckpt=True)
+        return val.reshape(batch_shape), stk[None]
+    Bp = _ceil(B, chunk)
+    hi4 = jnp.pad(hi3, ((0, Bp - B), (0, 0), (0, 0)))
+    lo4 = jnp.pad(lo3, ((0, Bp - B), (0, 0), (0, 0)))
+    hi4 = hi4.reshape(Bp // chunk, chunk, Mb, Nb)
+    lo4 = lo4.reshape(Bp // chunk, chunk, Mb, Nb)
+
+    def one(args):
+        h, l = args
+        return _solve_final_one_df(h, l, naive, dyadic_order, ckpt=True)
+
+    val, stk = jax.lax.map(one, (hi4, lo4))
     return val.reshape(Bp)[:B].reshape(batch_shape), stk
 
 

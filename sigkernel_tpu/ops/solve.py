@@ -280,8 +280,24 @@ def _df_stack_gate(hi, dyadic_order: int) -> bool:
             and pallas_adjoint.stack_shareable(B, Mb, Nb, dyadic_order))
 
 
+def _df_ckpt_gate(hi, dyadic_order: int) -> bool:
+    """Use the SPARSE checkpoint stack (``TB*f/2``x less forward-stack HBM
+    traffic; the adjoint recomputes skipped diagonals in-kernel)? Static
+    decision, recomputed identically in fwd and bwd."""
+    from . import pallas_adjoint
+
+    f = 2 ** dyadic_order
+    T = hi.shape[-2] * f + hi.shape[-1] * f - 1
+    return (_df_stack_gate(hi, dyadic_order)
+            and pallas_adjoint.ckpt_supported(T, f))
+
+
 def _solve_df_fwd(dd_df, naive, dyadic_order):
     hi, lo = dd_df
+    if _df_ckpt_gate(hi, dyadic_order):
+        val, stk = pallas_df64.solve_final_df_ckpt(
+            hi, lo, naive=naive, dyadic_order=dyadic_order)
+        return val, (dd_df, stk)
     if _df_stack_gate(hi, dyadic_order):
         from . import pallas_adjoint
 
@@ -300,7 +316,10 @@ def _solve_df_bwd(naive, dyadic_order, res, g):
     f = 2 ** dyadic_order
     probe = jax.ShapeDtypeStruct(
         hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
-    if _df_supported(hi, dyadic_order):
+    if _df_ckpt_gate(hi, dyadic_order):
+        ct = pallas_adjoint.adjoint_ckpt_collapsed(
+            hi, g, naive=naive, dyadic_order=dyadic_order, ckpt_stack=stk)
+    elif _df_supported(hi, dyadic_order):
         ct = pallas_adjoint.adjoint_fused_collapsed(
             hi, g, naive=naive, dyadic_order=dyadic_order, fwd_stack=stk)
     elif pallas_blocked.supported(probe):
