@@ -642,6 +642,13 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     NN = inc3.shape[-1] * f
     if not supported(MM, NN):
         return adjoint_dd(inc3, g, naive, dyadic_order)
+    if ceil_to(MM + 1, LANES) > ceil_to(NN + 1, LANES):
+        # the in-flight product needs the forward lane extent within the
+        # reverse state's (L_f <= L_r); wide rectangles run transposed --
+        # the final corner and the increment cotangent commute with it
+        ct = adjoint_fused(jnp.swapaxes(inc3, -1, -2), g, naive,
+                           dyadic_order)
+        return jnp.swapaxes(ct, -1, -2)
     T = MM + NN - 1
 
     # pairs-on-sublanes only: the product aligns row slabs of both sweeps
@@ -731,7 +738,11 @@ def stack_shareable(B: int, Mb: int, Nb: int, dyadic_order: int) -> bool:
     del B
     f = 2 ** dyadic_order
     MM, NN = Mb * f, Nb * f
-    return f in (2, 4) and supported(MM, NN) and MM + 1 <= MAX_ROWS
+    return (f in (2, 4) and supported(MM, NN) and MM + 1 <= MAX_ROWS
+            # forward lane extent must fit the reverse state's (the
+            # in-flight product slices L_f lanes out of L_r); wide
+            # rectangles fall back to the non-shared transposed adjoint
+            and ceil_to(MM + 1, LANES) <= ceil_to(NN + 1, LANES))
 
 
 def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
@@ -760,6 +771,13 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         assert fwd_stack is None
         KK = adjoint_fused(inc3, g, naive, dyadic_order)
         return _collapse_refined(KK, dyadic_order, jnp.float32)
+    if ceil_to(MM + 1, LANES) > ceil_to(NN + 1, LANES):
+        # wide rectangles run transposed (see adjoint_fused); the
+        # stack-sharing gate excludes this orientation
+        assert fwd_stack is None
+        ct = adjoint_fused_collapsed(jnp.swapaxes(inc3, -1, -2), g, naive,
+                                     dyadic_order)
+        return jnp.swapaxes(ct, -1, -2)
 
     T = MM + NN - 1
     pad_f = _pad_f(f)

@@ -100,12 +100,18 @@ def test_df_ckpt_stack_matches_full(rng, dyadic_order, shape):
     n_pairs = ckpt_pairs(T, f)
     assert stk_ck.shape[1] == 2 * n_pairs + 2
     Sf, Sc = np.asarray(stk_full[0]), np.asarray(stk_ck[0])
+    MM = Mb * f
+    lanes = np.arange(Sf.shape[-1])
     for m in range(n_pairs):
         for off in range(2):
             e = T - 6 - m * C + off
             if e >= 0:
+                # compare only the in-wavefront lanes: lanes in
+                # (e+2, MM] hold garbage-in-flight (uninitialized carry
+                # propagation), identical in dataflow but NaN on CPU
+                valid = (lanes <= e + 2) | (lanes > MM)
                 np.testing.assert_array_equal(
-                    Sc[2 * m + off], Sf[e + pad],
+                    Sc[2 * m + off][:, valid], Sf[e + pad][:, valid],
                     err_msg=f"pair {m} off {off} (entry {e})")
 
 
@@ -135,6 +141,23 @@ def test_df_ckpt_adjoint_end_to_end(rng, dyadic_order, shape):
     got = np.asarray(pallas_adjoint.adjoint_ckpt_collapsed(
         hi, g, False, dyadic_order, stk_ck))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+
+
+def test_wide_rectangle_adjoint_transposes(rng):
+    """MM >> NN (forward lane extent exceeding the reverse state's) used
+    to crash the fused adjoint at trace time; it now runs transposed."""
+    from sigkernel_tpu.ops import solve
+
+    B, Mb, Nb, dy = 1, 96, 40, 1
+    inc = rng.normal(size=(B, Mb, Nb)) * 0.1
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    got = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        jnp.asarray(inc, jnp.float32), g, False, dy))
+    (want,) = solve._grid_route_bwd(jnp.asarray(inc),
+                                    g.astype(jnp.float64), False, "scan", dy)
+    want = np.asarray(want)
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 1e-5
 
 
 def test_ckpt_gate():
