@@ -40,7 +40,7 @@ def chain(fn, x0, n):
     def body(c, _):
         out = fn(c)
         # fold the output back into the carry so nothing is elided
-        return c * (1.0 + 1e-12 * out), out
+        return c * (1.0 + 1e-12 * out).astype(c.dtype), out.astype(c.dtype)
     c, outs = jax.lax.scan(body, x0, jnp.arange(n))
     return outs.sum()
 
@@ -110,10 +110,12 @@ def fwd_ckpt(h, l):
 timeit("3c. df64 fwd kernel (ckpt stack)", fwd_ckpt, hi3, lo3)
 
 # ---- stage 4: fused collapsed adjoint (with given stack) ---------------
-val, stk = _solve_final_one_df(hi3, lo3, False, DYADIC, stack_pad=PADF)
-_, stk_ck = _solve_final_one_df(hi3, lo3, False, DYADIC, ckpt=True)
-jax.block_until_ready((stk, stk_ck))
+# stacks are GBs: materialize/free them one at a time (a live full stack
+# plus the ckpt solve's transient streams exhausted HBM once)
 g = jnp.ones((A * B,), jnp.float32)
+val, stk = _solve_final_one_df(hi3, lo3, False, DYADIC, stack_pad=PADF)
+jax.block_until_ready(stk)
+del val
 
 def adj(h, s):
     ct = pallas_adjoint.adjoint_fused_collapsed(
@@ -121,6 +123,10 @@ def adj(h, s):
     return ct.sum()
 
 timeit("4. fused collapsed adjoint", adj, hi3, stk)
+del stk
+
+_, stk_ck = _solve_final_one_df(hi3, lo3, False, DYADIC, ckpt=True)
+jax.block_until_ready(stk_ck)
 
 def adj_ck(h, s):
     ct = pallas_adjoint.adjoint_ckpt_collapsed(
@@ -128,6 +134,7 @@ def adj_ck(h, s):
     return ct.sum()
 
 timeit("4c. ckpt adjoint (sparse stack)", adj_ck, hi3, stk_ck)
+del stk_ck
 
 def adj_own(h):
     ct = pallas_adjoint.adjoint_fused_collapsed(
