@@ -35,8 +35,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import (LANES, MAX_ROWS, IN_OFF, _ix, _maybe_transpose,
-                            _pad_shear, _extract_final, _stack_to_grid)
+from .pallas_solver import (LANES, MAX_ROWS, IN_OFF, WINDOW_SEG, _ix,
+                            _maybe_transpose, _pad_shear, _extract_final,
+                            _stack_to_grid, _window_phases)
 from ..utils import ceil_to
 
 DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
@@ -171,7 +172,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                          sh_ref, sl_ref, ibh, ibl, isem, carryh, carryl,
                          ckbuf=None, *, n_steps, MM, row_axis, naive,
                          grid_out, out_offset=0, refine=1, hi_stack=False,
-                         ckpt_c=0):
+                         ckpt_c=0, NN=None, window_seg=0):
     """Double-double wavefront; ``refine > 1`` consumes the row-stretched
     base stream (select + roll per step; see
     ``pallas_solver._wavefront_kernel`` for the refinement contract).
@@ -202,6 +203,15 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
 
+    # Lane-window phase plan: compute only the active sliding row window
+    # of each anti-diagonal (frozen rows equal their computed values
+    # bit-for-bit; see _window_phases). Pairs-on-sublanes slabs only.
+    spb = T * f if f > 1 else T
+    phases = None
+    if window_seg and row_axis == 1 and NN is not None and not grid_out:
+        phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
+                                window_seg)
+
     sh_ref[0] = jnp.ones(slab, jnp.float32)
     sh_ref[1] = jnp.ones(slab, jnp.float32)
     sl_ref[0] = jnp.zeros(slab, jnp.float32)
@@ -220,9 +230,11 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
         pltpu.make_async_copy(ckbuf.at[_ix(1)], stk_ref.at[_ix(n_seed + 1)],
                               isem.at[_ix(5)]).start()
 
-        def ckpt_write(q, vh):
-            """If diagonal ``q`` is a checkpoint entry, stage + stream it
-            (per-slot chains: wait the previous same-slot copy first)."""
+        def ckpt_write(q, vslot):
+            """If diagonal ``q`` is a checkpoint entry, stage + stream the
+            just-written state slot ``vslot`` (full slab, so frozen rows
+            outside a compute window are included; per-slot chains: wait
+            the previous same-slot copy first)."""
             qi = jnp.int32(0) + q          # q may be a python int mix
             rem = lax.rem(qi, jnp.int32(ckpt_c))
             for off, r in ((0, r_lo), (1, r_hi)):
@@ -232,7 +244,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                     pltpu.make_async_copy(ckbuf.at[_ix(off)],
                                           stk_ref.at[_ix(n_seed)],
                                           isem.at[_ix(4 + off)]).wait()
-                    ckbuf[off] = vh
+                    ckbuf[off] = sh_ref[vslot]
                     m = lax.div(jnp.int32(n_steps - 6 + off) - qi,
                                 jnp.int32(ckpt_c))
                     pltpu.make_async_copy(ckbuf.at[_ix(off)],
@@ -250,17 +262,33 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
     for c in in_copy(0, 0):
         c.start()
 
-    def step(q, uh, ul, vm2, vm1, sp):
-        k10h, k10l = sh_ref[vm1], sl_ref[vm1]
+    def step(q, uh, ul, vm2, vm1, sp, ws=None, W=None, iiw=None):
+        if ws is None:
+            k10h, k10l = sh_ref[vm1], sl_ref[vm1]
+            p2h, p2l = sh_ref[vm2], sl_ref[vm2]
+            ii_loc = ii
+        else:
+            k10h = sh_ref[vm1, :, ws:ws + W]
+            k10l = sl_ref[vm1, :, ws:ws + W]
+            p2h = sh_ref[vm2, :, ws:ws + W]
+            p2l = sl_ref[vm2, :, ws:ws + W]
+            ii_loc = iiw
         k01h = pltpu.roll(k10h, jnp.int32(1), axis=row_axis)
         k01l = pltpu.roll(k10l, jnp.int32(1), axis=row_axis)
-        k00h = pltpu.roll(sh_ref[vm2], jnp.int32(1), axis=row_axis)
-        k00l = pltpu.roll(sl_ref[vm2], jnp.int32(1), axis=row_axis)
+        k00h = pltpu.roll(p2h, jnp.int32(1), axis=row_axis)
+        k00l = pltpu.roll(p2l, jnp.int32(1), axis=row_axis)
         vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
                             uh, ul, naive)
-        mask = (ii == 0) | (ii == q + 2) | (ii > MM)
+        mask = (ii_loc == 0) | (ii_loc == q + 2) | (ii_loc > MM)
         vh = jnp.where(mask, one, vh)
         vl = jnp.where(mask, zero, vl)
+        if ws is not None and ws > 0:
+            # window-bottom margin: the roll wrapped the window's top lane
+            # into lane ``ws``; keep the frozen (done, slot-equalised)
+            # value that sits there instead
+            edge = ii_loc == ws
+            vh = jnp.where(edge, p2h, vh)
+            vl = jnp.where(edge, p2l, vl)
 
         if grid_out:
             @pl.when(q >= 2)
@@ -280,10 +308,14 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                     sh_ref.at[_ix(vm2)],
                     stk_ref.at[_ix(q - 2 + out_offset)],
                     isem.at[_ix(4 + sp)]).wait()
+        if ws is None:
+            sh_ref[vm2] = vh
+            sl_ref[vm2] = vl
+        else:
+            sh_ref[vm2, :, ws:ws + W] = vh
+            sl_ref[vm2, :, ws:ws + W] = vl
         if ckpt_c:
-            ckpt_write(q, vh)
-        sh_ref[vm2] = vh
-        sl_ref[vm2] = vl
+            ckpt_write(q, vm2)
         if grid_out:
             pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
                                   outh_ref.at[_ix(q + out_offset)],
@@ -296,51 +328,76 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                                   stk_ref.at[_ix(q + out_offset)],
                                   isem.at[_ix(4 + sp)]).start()
 
-    def body(b, _):
-        bslot = lax.rem(b, jnp.int32(2))
+    def make_body(ws=None, W=None, iiw=None):
+        if ws is None:
+            def ld(ref, bslot, t):
+                return ref[bslot, t]
 
-        @pl.when(b + 1 < n_batches)
-        def _():
-            for c in in_copy(b + 1, 1 - bslot):
-                c.start()
+            def ldc(ref):
+                return ref[0]
+        else:
+            def ld(ref, bslot, t):
+                return ref[bslot, t, :, ws:ws + W]
 
-        for c in in_copy(b, bslot):
-            c.wait()
+            def ldc(ref):
+                return ref[0, :, ws:ws + W]
+        ii_loc = ii if ws is None else iiw
 
-        for t in range(T):
-            if f == 1:
-                q = b * T + t
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
 
-                @pl.when(q < n_steps)
-                def _(q=q, t=t):
-                    step(q, ibh[bslot, t], ibl[bslot, t],
-                         t % 2, 1 - t % 2, t % 2)
-            else:
-                k = b * T + t
-                for s in range(f):
-                    q = k * f + s
-                    sp = s % 2   # == q % 2 (f even)
+            @pl.when(b + 1 < n_batches)
+            def _():
+                for c in in_copy(b + 1, 1 - bslot):
+                    c.start()
+
+            for c in in_copy(b, bslot):
+                c.wait()
+
+            for t in range(T):
+                if f == 1:
+                    q = b * T + t
 
                     @pl.when(q < n_steps)
-                    def _(q=q, t=t, s=s, sp=sp):
-                        # previous diagonal: carry at batch start (the other
-                        # DMA slot is racing with the next prefetch)
-                        prvh = carryh[0] if t == 0 else ibh[bslot, t - 1]
-                        prvl = carryl[0] if t == 0 else ibl[bslot, t - 1]
-                        sel = lax.rem(ii, jnp.int32(f)) <= s
-                        ph = jnp.where(sel, ibh[bslot, t], prvh)
-                        pl_ = jnp.where(sel, ibl[bslot, t], prvl)
-                        uh = pltpu.roll(ph, jnp.int32(1), axis=row_axis)
-                        ul = pltpu.roll(pl_, jnp.int32(1), axis=row_axis)
-                        step(q, uh, ul, sp, 1 - sp, sp)
-        if f > 1:
-            carryh[0] = ibh[bslot, T - 1]
-            carryl[0] = ibl[bslot, T - 1]
-        return 0
+                    def _(q=q, t=t):
+                        step(q, ld(ibh, bslot, t), ld(ibl, bslot, t),
+                             t % 2, 1 - t % 2, t % 2, ws, W, iiw)
+                else:
+                    k = b * T + t
+                    for s in range(f):
+                        q = k * f + s
+                        sp = s % 2   # == q % 2 (f even)
+
+                        @pl.when(q < n_steps)
+                        def _(q=q, t=t, s=s, sp=sp):
+                            # previous diagonal: carry at batch start (the
+                            # other DMA slot is racing with the prefetch)
+                            prvh = (ldc(carryh) if t == 0
+                                    else ld(ibh, bslot, t - 1))
+                            prvl = (ldc(carryl) if t == 0
+                                    else ld(ibl, bslot, t - 1))
+                            sel = lax.rem(ii_loc, jnp.int32(f)) <= s
+                            ph = jnp.where(sel, ld(ibh, bslot, t), prvh)
+                            pl_ = jnp.where(sel, ld(ibl, bslot, t), prvl)
+                            uh = pltpu.roll(ph, jnp.int32(1), axis=row_axis)
+                            ul = pltpu.roll(pl_, jnp.int32(1), axis=row_axis)
+                            step(q, uh, ul, sp, 1 - sp, sp, ws, W, iiw)
+            if f > 1:
+                carryh[0] = ibh[bslot, T - 1]
+                carryl[0] = ibl[bslot, T - 1]
+            return 0
+        return body
 
     # int32 loop bounds: under jax_enable_x64 a default (int64) fori index
     # cannot be lowered by Mosaic (its int64->int32 convert path recurses)
-    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            iiw = (lax.broadcasted_iota(jnp.int32, (slab[0], W_p), 1)
+                   + jnp.int32(ws_p))
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, iiw), 0)
 
     last = (n_steps - 1) % 2
     if grid_out:
@@ -449,7 +506,7 @@ def _df_scratch(slab, ckpt=False):
 
 def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
                         dyadic_order: int = 0, stack_pad=None,
-                        ckpt: bool = False):
+                        ckpt: bool = False, window_seg=None):
     """Final-corner df64 solve; with ``stack_pad`` also returns the hi
     plane's diagonal stack (entry q at q + stack_pad) for adjoint reuse.
     With ``ckpt`` instead returns the SPARSE checkpoint stack (pair m of
@@ -479,7 +536,9 @@ def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
                                row_axis=row_axis, naive=naive,
                                grid_out=False, refine=f, hi_stack=hi_stack,
                                out_offset=stack_pad if hi_stack else 0,
-                               ckpt_c=ckpt_c)
+                               ckpt_c=ckpt_c, NN=hi3.shape[-1] * f,
+                               window_seg=(WINDOW_SEG if window_seg is None
+                                           else window_seg))
     outh, outl, stk = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),

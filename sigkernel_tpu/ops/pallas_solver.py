@@ -43,6 +43,10 @@ from ..utils import ceil_to, dyadic_refine
 LANES = 128
 SUBLANES = 8
 MAX_ROWS = 8192
+# Diagonal steps per lane-window phase of the wavefront kernels (see
+# _window_phases); 0 disables windowed compute.
+import os as _os
+WINDOW_SEG = int(_os.environ.get("SIG_WINDOW_SEG", "256"))
 # batch threshold between the two slab layouts: up to 128 pairs ride the
 # sublane axis -- a (128, L) slab keeps the whole fused-adjoint stack
 # machinery (pairs-on-sublanes only) AND makes the aligned pairs-minor
@@ -110,7 +114,7 @@ IN_OFF = 1
 
 def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                       *, n_steps, MM, row_axis, naive, grid_out,
-                      out_offset=0, refine=1):
+                      out_offset=0, refine=1, NN=None, window_seg=0):
     """Single-program wavefront sweep over slabs of shape ``state.shape[1:]``.
 
     ``row_axis``: which slab axis carries the diagonal row index ``i``
@@ -154,6 +158,14 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
     ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
     one = jnp.float32(1.0)
 
+    # Lane-window phase plan (see _window_phases): compute only the active
+    # sliding row window of each anti-diagonal. Pairs-on-sublanes only.
+    spb = T * f if f > 1 else T
+    phases = None
+    if window_seg and row_axis == 1 and NN is not None and not grid_out:
+        phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
+                                window_seg)
+
     state[0] = jnp.ones(slab, jnp.float32)  # v_0 (and padding steady-state)
     state[1] = jnp.ones(slab, jnp.float32)  # v_1
 
@@ -164,15 +176,26 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
 
     in_copy(0, 0).start()
 
-    def step(q, u, vm2_s, vm1_s, sp):
+    def step(q, u, vm2_s, vm1_s, sp, ws=None, W=None, iiw=None):
         """One refined wavefront step (sp = q % 2, compile-time)."""
-        vm1 = state[vm1_s]
+        if ws is None:
+            vm1 = state[vm1_s]
+            p2 = state[vm2_s]
+            ii_loc = ii
+        else:
+            vm1 = state[vm1_s, :, ws:ws + W]
+            p2 = state[vm2_s, :, ws:ws + W]
+            ii_loc = iiw
         k10 = vm1
         k01 = pltpu.roll(vm1, jnp.int32(1), axis=row_axis)
-        k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=row_axis)
+        k00 = pltpu.roll(p2, jnp.int32(1), axis=row_axis)
         v = _scheme(k00, k01, k10, u, naive)
-        mask = (ii == 0) | (ii == q + 2) | (ii > MM)
+        mask = (ii_loc == 0) | (ii_loc == q + 2) | (ii_loc > MM)
         v = jnp.where(mask, one, v)
+        if ws is not None and ws > 0:
+            # window-bottom margin: the roll wrapped the window's top lane
+            # into lane ``ws``; keep the frozen (done) value instead
+            v = jnp.where(ii_loc == ws, p2, v)
 
         if grid_out:
             # the write-back of step q-2 used this same state slot as
@@ -183,48 +206,75 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                     state.at[_ix(vm2_s)],
                     out_ref.at[_ix(q - 2 + out_offset)],
                     isem.at[_ix(2 + sp)]).wait()
-        state[vm2_s] = v
+        if ws is None:
+            state[vm2_s] = v
+        else:
+            state[vm2_s, :, ws:ws + W] = v
         if grid_out:
             pltpu.make_async_copy(state.at[_ix(vm2_s)],
                                   out_ref.at[_ix(q + out_offset)],
                                   isem.at[_ix(2 + sp)]).start()
 
-    def body(b, _):
-        bslot = lax.rem(b, jnp.int32(2))
+    def make_body(ws=None, W=None, iiw=None):
+        if ws is None:
+            def ld(bslot, t):
+                return ibuf[bslot, t]
 
-        @pl.when(b + 1 < n_batches)
-        def _():
-            in_copy(b + 1, 1 - bslot).start()
+            def ldc():
+                return carry[0]
+        else:
+            def ld(bslot, t):
+                return ibuf[bslot, t, :, ws:ws + W]
 
-        in_copy(b, bslot).wait()
+            def ldc():
+                return carry[0, :, ws:ws + W]
+        ii_loc = ii if ws is None else iiw
 
-        for t in range(T):  # static unroll; slots below are compile-time
-            if f == 1:
-                q = b * T + t
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
 
-                @pl.when(q < n_steps)
-                def _(q=q, t=t):
-                    step(q, ibuf[bslot, t], t % 2, 1 - t % 2, t % 2)
-            else:
-                k = b * T + t
-                for s in range(f):
-                    q = k * f + s
-                    sp = s % 2   # == q % 2 (f even)
+            @pl.when(b + 1 < n_batches)
+            def _():
+                in_copy(b + 1, 1 - bslot).start()
+
+            in_copy(b, bslot).wait()
+
+            for t in range(T):  # static unroll; slots are compile-time
+                if f == 1:
+                    q = b * T + t
 
                     @pl.when(q < n_steps)
-                    def _(q=q, t=t, s=s, sp=sp):
-                        prev = carry[0] if t == 0 else ibuf[bslot, t - 1]
-                        sel = lax.rem(ii, jnp.int32(f)) <= s
-                        pre = jnp.where(sel, ibuf[bslot, t], prev)
-                        u = pltpu.roll(pre, jnp.int32(1), axis=row_axis)
-                        step(q, u, sp, 1 - sp, sp)
-        if f > 1:
-            carry[0] = ibuf[bslot, T - 1]
-        return 0
+                    def _(q=q, t=t):
+                        step(q, ld(bslot, t), t % 2, 1 - t % 2, t % 2,
+                             ws, W, iiw)
+                else:
+                    k = b * T + t
+                    for s in range(f):
+                        q = k * f + s
+                        sp = s % 2   # == q % 2 (f even)
+
+                        @pl.when(q < n_steps)
+                        def _(q=q, t=t, s=s, sp=sp):
+                            prev = ldc() if t == 0 else ld(bslot, t - 1)
+                            sel = lax.rem(ii_loc, jnp.int32(f)) <= s
+                            pre = jnp.where(sel, ld(bslot, t), prev)
+                            u = pltpu.roll(pre, jnp.int32(1), axis=row_axis)
+                            step(q, u, sp, 1 - sp, sp, ws, W, iiw)
+            if f > 1:
+                carry[0] = ibuf[bslot, T - 1]
+            return 0
+        return body
 
     # int32 loop bounds: under jax_enable_x64 a default (int64) fori index
     # cannot be lowered by Mosaic (its int64->int32 convert path recurses)
-    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            iiw = (lax.broadcasted_iota(jnp.int32, (slab[0], W_p), 1)
+                   + jnp.int32(ws_p))
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, iiw), 0)
 
     last = (n_steps - 1) % 2
     if grid_out:
@@ -257,6 +307,47 @@ def _layout(B: int, MM: int):
     L = ceil_to(MM + 1, LANES)
     P = ceil_to(B, SUBLANES)
     return 1, (P, L), P            # pairs on sublanes
+
+
+def _window_phases(n_batches: int, spb: int, n_steps: int, NN: int, L: int,
+                   seg_steps: int = 512):
+    """Static phase plan for lane-windowed wavefront compute.
+
+    The active anti-diagonal occupies a contiguous, monotonically sliding
+    row window of the slab: at step ``q`` only rows ``[q - NN, q + 2]`` can
+    change (rows above the front hold the boundary 1 from init; rows past
+    their last column continue constantly under zero increments -- the
+    exact-no-op invariant -- so a frozen row equals its computed value
+    bit-for-bit). Computing the full ``L``-lane slab every step therefore
+    wastes ~half the VPU issue slots over a square sweep.
+
+    Splits the batch loop into segments of ``seg_steps`` diagonal steps and
+    assigns each a static lane window ``[ws, ws + W)`` (128-aligned) wide
+    enough for every step in the segment, with margin for the roll
+    neighbour and the ping-pong slot-equalisation lag. Returns a tuple of
+    ``(b0, b1, ws, W)`` phases covering ``[0, n_batches)``, or ``None``
+    when a single full-slab phase is all that fits (no saving).
+
+    ``spb``: diagonal steps per loop batch; ``NN``: refined column count
+    (rows finish after their ``NN``-th update); ``L``: slab lane count.
+    """
+    phases = []
+    seg_b = max(1, seg_steps // spb)
+    b = 0
+    while b < n_batches:
+        b1 = min(b + seg_b, n_batches)
+        s0, s1 = b * spb, b1 * spb
+        ws = max(0, s0 - NN - 8) // LANES * LANES
+        top = min(ceil_to(min(s1 + 8, L), LANES), L)
+        W = top - ws
+        if phases and phases[-1][2:] == (ws, W):
+            phases[-1] = (phases[-1][0], b1, ws, W)
+        else:
+            phases.append((b, b1, ws, W))
+        b = b1
+    if len(phases) == 1 and phases[0][2] == 0 and phases[0][3] == L:
+        return None
+    return tuple(phases)
 
 
 def _pad_shear(inc: jnp.ndarray, dma_batch: int):
@@ -535,7 +626,8 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
     MM = inc3.shape[-2] * f
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive,
-                               grid_out=False, refine=f)
+                               grid_out=False, refine=f,
+                               NN=inc3.shape[-1] * f, window_seg=WINDOW_SEG)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(slab, jnp.float32),

@@ -280,16 +280,43 @@ def _df_stack_gate(hi, dyadic_order: int) -> bool:
             and pallas_adjoint.stack_shareable(B, Mb, Nb, dyadic_order))
 
 
+# Full forward stacks beyond this many bytes switch to the sparse
+# checkpoint stack. Capacity-driven, NOT a speed gate: slope-profiled on
+# chip (scripts/stage_probe.py, round 3), the ckpt route is a net LOSS at
+# the benchmark config (fwd 85.5 + adjoint 92.2 ms vs 85.1 + 64.1 full) --
+# stack emission rides free under the compute-bound forward, so the
+# adjoint's in-kernel recompute buys HBM *space* only. The benchmark
+# config (256 pairs, two 128-pair chunks, ~8.6 GB of stacks + one chunk's
+# ~4.3 GB base streams) fits a 16 GB chip and measured 527 pairs/s on the
+# full-stack route; 10 GB keeps it there while larger Grams spill to ckpt.
+CKPT_STACK_BYTES = 10 << 30
+
+
 def _df_ckpt_gate(hi, dyadic_order: int) -> bool:
-    """Use the SPARSE checkpoint stack (``TB*f/2``x less forward-stack HBM
-    traffic; the adjoint recomputes skipped diagonals in-kernel)? Static
-    decision, recomputed identically in fwd and bwd."""
+    """Use the SPARSE checkpoint stack? Only when the full hi stack would
+    not fit the HBM budget (see ``CKPT_STACK_BYTES``); otherwise the full
+    stack is strictly faster. Static decision, recomputed identically in
+    fwd and bwd."""
+    import math
+
     from . import pallas_adjoint
+    from .pallas_solver import LANES as _L
+    from ..utils import ceil_to as _ceil
 
     f = 2 ** dyadic_order
-    T = hi.shape[-2] * f + hi.shape[-1] * f - 1
-    return (_df_stack_gate(hi, dyadic_order)
-            and pallas_adjoint.ckpt_supported(T, f))
+    Mb, Nb = hi.shape[-2], hi.shape[-1]
+    MM, NN = Mb * f, Nb * f
+    T = MM + NN - 1
+    if not (_df_stack_gate(hi, dyadic_order)
+            and pallas_adjoint.ckpt_supported(T, f)):
+        return False
+    B = math.prod(hi.shape[:-2])
+    chunk = pallas_adjoint.shared_chunk(MM, NN)
+    nc = -(-B // chunk)
+    slab_rows = _ceil(chunk, 8)
+    Tp = _ceil(T + 2, _L) + pallas_adjoint._pad_f(f)
+    full_bytes = nc * Tp * slab_rows * _ceil(MM + 1, _L) * 4
+    return full_bytes > CKPT_STACK_BYTES
 
 
 def _solve_df_fwd(dd_df, naive, dyadic_order):

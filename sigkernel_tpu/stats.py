@@ -20,6 +20,17 @@ def c_alpha(m: int, alpha: float) -> float:
     return 4.0 * np.sqrt(-np.log(alpha) / m)
 
 
+def _unwrap(static_kernel, dyadic_order):
+    """Accept either a static kernel (reference signature) or a whole
+    ``SigKernel`` (a natural mistake -- these functions build one
+    internally); unwrapping beats an AttributeError deep in the solve."""
+    from .sigkernel import SigKernel
+
+    if isinstance(static_kernel, SigKernel):
+        return static_kernel.static_kernel, static_kernel.dyadic_order
+    return static_kernel, dyadic_order
+
+
 def hypothesis_test(y_pred, y_test, static_kernel, confidence_level=0.99,
                     dyadic_order=0, verbose=True):
     """MMD-based two-sample test (reference sigkernel.py:624-640).
@@ -27,6 +38,7 @@ def hypothesis_test(y_pred, y_test, static_kernel, confidence_level=0.99,
     Returns ``(rejected, mmd_statistic, threshold)``; also prints the verdict
     when ``verbose`` for parity with the reference's behaviour.
     """
+    static_kernel, dyadic_order = _unwrap(static_kernel, dyadic_order)
     m = max(y_pred.shape[0], y_test.shape[0])
     TU = sig_mmd(static_kernel, y_pred, y_test, dyadic_order=dyadic_order)
     # divergence from the reference: c_alpha expects the SIGNIFICANCE level
@@ -51,6 +63,7 @@ def sig_chsic(X, Y, Z, static_kernel, dyadic_order=1, eps=0.1,
 
     ``X, Y, Z``: ``(batch, length, dim)`` path arrays. Returns a scalar.
     """
+    static_kernel, dyadic_order = _unwrap(static_kernel, dyadic_order)
     m = X.shape[0]
     dtype = X.dtype
 

@@ -180,3 +180,34 @@ def test_pallas_wide_sublane_batch(rng, dyadic_order):
     want = np.asarray(scan_solver.solve_final(dyadic_refine(inc, dyadic_order)))
     got = np.asarray(pallas_solver.solve_final(inc, dyadic_order=dyadic_order))
     np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
+
+
+@pytest.mark.parametrize("dyadic", [0, 1])
+def test_f32_windowed_phases_match_full(rng, dyadic):
+    """Lane-windowed f32 wavefront vs the full-slab sweep: bit-identical
+    final values (see the df64 twin test for the invariant argument)."""
+    import functools
+    from sigkernel_tpu.ops.pallas_solver import _wavefront_kernel
+
+    f = 2 ** dyadic
+    shape = (4, 160 // f, 40 // f)
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1, jnp.float32)
+
+    def run(seg):
+        import sigkernel_tpu.ops.pallas_solver as ps
+        old = ps.WINDOW_SEG
+        ps.WINDOW_SEG = seg
+        try:
+            out = ps._solve_final_one(inc, False, dyadic)
+            return np.asarray(out)
+        finally:
+            ps.WINDOW_SEG = old
+
+    from sigkernel_tpu.utils import dyadic_refine
+    full = run(0)
+    win = run(32)
+    np.testing.assert_array_equal(win, full)
+    want = np.asarray(scan_solver.solve_final(
+        dyadic_refine(inc.astype(jnp.float64), dyadic))).astype(np.float32)
+    # secondary sanity vs the f64 oracle (f32 accumulation over ~200 steps)
+    np.testing.assert_allclose(win, want, rtol=3e-4, atol=3e-5)

@@ -173,3 +173,60 @@ def test_hi_stack_sharing_chunked(rng, monkeypatch):
         inc, g, naive=False, dyadic_order=dyadic_order))
     assert ct_shared.shape == (B, Mb, Nb)
     np.testing.assert_allclose(ct_shared, ct_self, rtol=2e-5, atol=2e-6)
+
+
+@pytest.mark.parametrize("naive", [True, False])
+@pytest.mark.parametrize("shape,dyadic", [((4, 160, 40), 0), ((4, 80, 20), 1)])
+def test_df64_windowed_phases_match_full(rng, naive, shape, dyadic):
+    """Lane-windowed wavefront compute vs the full-slab sweep.
+
+    The final corner must be BIT-identical: active cells only ever read
+    real cells of the row below, which both variants compute identically;
+    windows only freeze the dead zero-increment continuation of done rows.
+    The geometry (MM=160 refined -> 256 lanes, NN=40, seg 32) produces a
+    multi-phase plan with both a growing top edge and a nonzero window
+    start, exercising the roll-wrap margin.
+    """
+    from sigkernel_tpu.ops.pallas_solver import _window_phases
+
+    f = 2 ** dyadic
+    MM, NN = shape[1] * f, shape[2] * f
+    n_steps = MM + NN - 1
+    spb = pallas_df64.DMA_BATCH * f if f > 1 else pallas_df64.DMA_BATCH
+    phases = _window_phases(-(-(-(-n_steps // f) // pallas_df64.DMA_BATCH)),
+                            spb, n_steps, NN, 256, 32)
+    assert phases is not None and len(phases) > 1
+    assert any(p[2] > 0 for p in phases), "plan must include a ws>0 phase"
+
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1)
+    hi, lo = pallas_df64._split_hi_lo(inc)
+    full = np.asarray(pallas_df64._solve_final_one_df(
+        hi, lo, naive, dyadic, window_seg=0))
+    win = np.asarray(pallas_df64._solve_final_one_df(
+        hi, lo, naive, dyadic, window_seg=32))
+    np.testing.assert_array_equal(win, full)
+    from sigkernel_tpu.utils import dyadic_refine
+    want = np.asarray(scan_solver.solve_final(
+        dyadic_refine(inc, dyadic), naive=naive))
+    np.testing.assert_allclose(win, want, rtol=1e-11, atol=1e-12)
+
+
+def test_df64_windowed_stack_modes(rng):
+    """hi_stack / ckpt stacks from the windowed kernel: the values and the
+    real-cell region of every stack entry must match the full sweep."""
+    inc = jnp.asarray(rng.normal(size=(4, 80, 20)) * 0.1)
+    hi, lo = pallas_df64._split_hi_lo(inc)
+    vf, sf = pallas_df64._solve_final_one_df(hi, lo, False, 1, stack_pad=8,
+                                             window_seg=0)
+    vw, sw = pallas_df64._solve_final_one_df(hi, lo, False, 1, stack_pad=8,
+                                             window_seg=32)
+    np.testing.assert_array_equal(np.asarray(vw), np.asarray(vf))
+    # Stack entries: bit-equal wherever both kernels wrote defined values.
+    # The full kernel scribbles above-front lanes with garbage derived from
+    # the uninitialised refine carry (NaN in interpret mode); windowing
+    # freezes them at the boundary 1.0 instead, so the windowed stack's
+    # undefined set must be a subset of the full one.
+    sf, sw = np.asarray(sf), np.asarray(sw)
+    both = np.isfinite(sf) & np.isfinite(sw)
+    np.testing.assert_array_equal(sw[both], sf[both])
+    assert not (np.isfinite(sf) & ~np.isfinite(sw)).any()

@@ -50,3 +50,22 @@ def test_sig_chsic_detects_dependence(rng):
     dep = float(sk.sig_chsic(X, X, Z, k, dyadic_order=0))
     indep = float(sk.sig_chsic(X, W, Z, k, dyadic_order=0))
     assert dep > indep
+
+
+def test_stats_accept_sigkernel_wrapper(rng):
+    """hypothesis_test/sig_chsic accept a whole SigKernel (unwrapping its
+    static kernel + dyadic order) as well as the reference's static-kernel
+    signature."""
+    import sigkernel_tpu as sk
+
+    X = jnp.asarray(rng.normal(size=(4, 6, 2)).cumsum(1) * 0.3)
+    Y = jnp.asarray(rng.normal(size=(3, 6, 2)).cumsum(1) * 0.3)
+    ker = sk.RBFKernel(0.5)
+    s = sk.SigKernel(ker, dyadic_order=1)
+    r1 = sk.hypothesis_test(X, Y, ker, dyadic_order=1, verbose=False)
+    r2 = sk.hypothesis_test(X, Y, s, verbose=False)
+    assert r1[0] == r2[0]
+    np.testing.assert_allclose(float(r1[1]), float(r2[1]), rtol=1e-12)
+    c1 = sk.sig_chsic(X[:3], Y, Y, ker, dyadic_order=1)
+    c2 = sk.sig_chsic(X[:3], Y, Y, s)
+    np.testing.assert_allclose(float(c1), float(c2), rtol=1e-12)
