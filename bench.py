@@ -38,12 +38,18 @@ A100_MODEL_PAIRS_PER_S = 19000.0
 LENGTH = int(os.environ.get("SIGBENCH_LENGTH", 1024))
 DYADIC = int(os.environ.get("SIGBENCH_DYADIC", 1))
 DIM = 3
-# 16x16 Gram = 256 path pairs, solved in two 128-pair chunks. The
+# 8x16 Gram = 128 path pairs = exactly one shared pair-chunk: the
+# stack-sharing fwd+bwd holds a single 4.3 GB forward stack (two chunks'
+# stacks must both live as custom_vjp residuals and, with XLA's ~44%
+# HBM fragmentation at this size, OOM at compile -- measured round 3;
+# multi-chunk Grams take the sparse-ckpt residual route instead). The
 # BASELINE north star is batch-100 Grams (10k pairs); 128-pair chunks are
 # also what unlocks the aligned (512-byte-shift) stream construction --
 # see ops/pallas_solver.ALIGNED_MIN_PAIR_BYTES.
-PAIRS_A = int(os.environ.get("SIGBENCH_PAIRS", 16))
-PAIRS_B = int(os.environ.get("SIGBENCH_PAIRS", 16))
+PAIRS_A = int(os.environ.get("SIGBENCH_PAIRS_A",
+                             os.environ.get("SIGBENCH_PAIRS", 8)))
+PAIRS_B = int(os.environ.get("SIGBENCH_PAIRS_B",
+                             os.environ.get("SIGBENCH_PAIRS", 16)))
 DTYPE = "float64"
 
 

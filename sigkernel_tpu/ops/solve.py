@@ -285,11 +285,14 @@ def _df_stack_gate(hi, dyadic_order: int) -> bool:
 # chip (scripts/stage_probe.py, round 3), the ckpt route is a net LOSS at
 # the benchmark config (fwd 85.5 + adjoint 92.2 ms vs 85.1 + 64.1 full) --
 # stack emission rides free under the compute-bound forward, so the
-# adjoint's in-kernel recompute buys HBM *space* only. The benchmark
-# config (256 pairs, two 128-pair chunks, ~8.6 GB of stacks + one chunk's
-# ~4.3 GB base streams) fits a 16 GB chip and measured 527 pairs/s on the
-# full-stack route; 10 GB keeps it there while larger Grams spill to ckpt.
-CKPT_STACK_BYTES = 10 << 30
+# adjoint's in-kernel recompute buys HBM *space* only. ALL chunk stacks
+# live simultaneously as custom_vjp residuals (the backward consumes them
+# after every chunk's forward), and XLA's planner showed ~44% HBM
+# fragmentation at this size, so two 4.3 GB full stacks (256 benchmark
+# pairs) already fail to compile. 5 GB admits exactly one benchmark-grid
+# chunk on the fast full-stack route; every multi-chunk fwd+bwd takes the
+# sparse route.
+CKPT_STACK_BYTES = 5 << 30
 
 
 def _df_ckpt_gate(hi, dyadic_order: int) -> bool:
