@@ -13,6 +13,9 @@ import functools
 
 sys.path.insert(0, "/root/repo")
 
+import os
+from contextlib import nullcontext as _nullcontext
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -21,6 +24,10 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 jax.config.update("jax_enable_x64", True)
+# CPU-force must precede ANY backend init (jax.devices() on the axon
+# plugin blocks while the relay is wedged)
+if os.environ.get("INTERLEAVE_INTERPRET"):
+    jax.config.update("jax_platforms", "cpu")
 
 print("devices:", jax.devices())
 
@@ -90,20 +97,24 @@ def run(mode, n_steps=N_STEPS):
           flush=True)
 
 
-# correctness of the dilation spellings in interpret mode first
-with pltpu.force_tpu_interpret_mode():
-    for mode in ("repeat", "bcast"):
-        kern = functools.partial(kernel, mode=mode, n_steps=1)
-        out = pl.pallas_call(
-            kern,
-            out_shape=jax.ShapeDtypeStruct((P, Lb * f), jnp.float32),
-            scratch_shapes=[pltpu.VMEM((1, P, Lb), jnp.float32),
-                            pltpu.VMEM((1, P, Lb * f), jnp.float32)],
-        )()
-        want = np.repeat(np.ones((P, Lb), np.float32), f, axis=1)
-        ok = np.array_equal(np.asarray(out), want)
-        print(f"interpret {mode}: {'OK' if ok else 'BAD'}")
+# correctness of the dilation spellings in interpret mode (CPU-forced
+# above: interpret mode on the axon backend roundtrips the relay per op)
+with pltpu.force_tpu_interpret_mode() if os.environ.get(
+        "INTERLEAVE_INTERPRET") else _nullcontext():
+    if os.environ.get("INTERLEAVE_INTERPRET"):
+        for mode in ("repeat", "bcast"):
+            kern = functools.partial(kernel, mode=mode, n_steps=1)
+            out = pl.pallas_call(
+                kern,
+                out_shape=jax.ShapeDtypeStruct((P, Lb * f), jnp.float32),
+                scratch_shapes=[pltpu.VMEM((1, P, Lb), jnp.float32),
+                                pltpu.VMEM((1, P, Lb * f), jnp.float32)],
+            )()
+            want = np.repeat(np.ones((P, Lb), np.float32), f, axis=1)
+            ok = np.array_equal(np.asarray(out), want)
+            print(f"interpret {mode}: {'OK' if ok else 'BAD'}")
 
-for mode in ("repeat", "bcast", "ptrepeat_roll", "tile_baseline"):
-    run(mode)
+if not os.environ.get("INTERLEAVE_INTERPRET"):
+    for mode in ("repeat", "bcast", "ptrepeat_roll", "tile_baseline"):
+        run(mode)
 print("done")

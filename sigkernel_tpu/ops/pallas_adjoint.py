@@ -208,7 +208,8 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
 
 def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                              ibuf, fbuf, acc, obuf, isem, carry,
-                             *, n_steps, MM, NN, L_f, naive, pad_f, refine):
+                             *, n_steps, MM, NN, L_f, naive, pad_f, refine,
+                             base_lanes=False):
     """Transposed-reverse sweep + in-flight product + in-kernel dyadic
     collapse of the cotangent to BASE anti-diagonals (refine = f > 1 only).
 
@@ -332,6 +333,14 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                 k_dyn = _ix(A) - lax.div(_ix(q_r), jnp.int32(f))
                 flush(k_par, k_dyn)
 
+    def ld(bslot, t):
+        v = ibuf[bslot, t]
+        return jnp.repeat(v, f, axis=1) if base_lanes else v
+
+    def ldc():
+        v = carry[0]
+        return jnp.repeat(v, f, axis=1) if base_lanes else v
+
     def body(b, _):
         bslot = lax.rem(b, jnp.int32(2))
 
@@ -350,9 +359,9 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
 
                 @pl.when(q_r < n_steps)
                 def _(q_r=q_r, t=t, s_i=s_i, sp=sp):
-                    prev = carry[0] if t == 0 else ibuf[bslot, t - 1]
+                    prev = ldc() if t == 0 else ld(bslot, t - 1)
                     sel = lax.rem(ii, jnp.int32(f)) <= s_i
-                    pre = jnp.where(sel, ibuf[bslot, t], prev)
+                    pre = jnp.where(sel, ld(bslot, t), prev)
                     u = pltpu.roll(pre, jnp.int32(1), axis=1)
                     step(q_r, u, bslot, TBf - 1 - (t * f + s_i), sp,
                          s_i, t)
@@ -793,12 +802,18 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         L_r = ceil_to(NN + 1, LANES)
         assert S_f.shape[1:] == (P, L_f), "fused adjoint needs P-S layout"
 
+        from .pallas_solver import BASE_LANES as _BL
+
         rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
         rb = rbase * jnp.float32(1.0 / (f * f))            # (B, Nb, Mb)
+        dil = False
         if _use_aligned(B, (P, L_r), 1):
-            (sk,) = _aligned_streams_ps([rb], f, TB, (P, L_r))
+            (sk,) = _aligned_streams_ps([rb], f, TB, (P, L_r),
+                                        stretch=not _BL)
+            dil = _BL
         else:
             sk = _stretch_stream(rb, f, TB, 1, (P, L_r))
+        L_in = sk.shape[-1]
 
         gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
 
@@ -806,7 +821,7 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         Tp_out = ceil_to(V + 4, LANES)
         kernel = functools.partial(_product_collapse_kernel, n_steps=T,
                                    MM=MM, NN=NN, L_f=L_f, naive=naive,
-                                   pad_f=pad_f, refine=f)
+                                   pad_f=pad_f, refine=f, base_lanes=dil)
         cot_b = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((Tp_out, P, L_f), jnp.float32),
@@ -816,12 +831,12 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
                 pltpu.VMEM((2, P, L_r), jnp.float32),
-                pltpu.VMEM((2, TB, P, L_r), jnp.float32),
+                pltpu.VMEM((2, TB, P, L_in), jnp.float32),
                 pltpu.VMEM((2, TB * f, P, L_f), jnp.float32),
                 pltpu.VMEM((2, P, L_f), jnp.float32),
                 pltpu.VMEM((2, P, L_f), jnp.float32),
                 pltpu.SemaphoreType.DMA((6,)),
-                pltpu.VMEM((1, P, L_r), jnp.float32),
+                pltpu.VMEM((1, P, L_in), jnp.float32),
             ],
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024),

@@ -47,6 +47,10 @@ MAX_ROWS = 8192
 # _window_phases); 0 disables windowed compute.
 import os as _os
 WINDOW_SEG = int(_os.environ.get("SIG_WINDOW_SEG", "256"))
+# Base-lane streams (f > 1, aligned geometry): keep increment streams at
+# base lane width and dilate in-kernel (f x less stream HBM + two
+# construction passes on f x less data). See _aligned_streams_ps(stretch=).
+BASE_LANES = bool(int(_os.environ.get("SIG_BASE_LANES", "0")))
 # batch threshold between the two slab layouts: up to 128 pairs ride the
 # sublane axis -- a (128, L) slab keeps the whole fused-adjoint stack
 # machinery (pairs-on-sublanes only) AND makes the aligned pairs-minor
@@ -114,7 +118,8 @@ IN_OFF = 1
 
 def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                       *, n_steps, MM, row_axis, naive, grid_out,
-                      out_offset=0, refine=1, NN=None, window_seg=0):
+                      out_offset=0, refine=1, NN=None, window_seg=0,
+                      base_lanes=False):
     """Single-program wavefront sweep over slabs of shape ``state.shape[1:]``.
 
     ``row_axis``: which slab axis carries the diagonal row index ``i``
@@ -216,7 +221,24 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                                   isem.at[_ix(2 + sp)]).start()
 
     def make_body(ws=None, W=None, iiw=None):
-        if ws is None:
+        if base_lanes:
+            # base-lane-width streams: slice the base window, lane-dilate
+            # on load (y[i] = x[i//f]; cheap Mosaic interleave)
+            if ws is None:
+                def ld(bslot, t):
+                    return jnp.repeat(ibuf[bslot, t], f, axis=1)
+
+                def ldc():
+                    return jnp.repeat(carry[0], f, axis=1)
+            else:
+                def ld(bslot, t):
+                    return jnp.repeat(
+                        ibuf[bslot, t, :, ws // f:(ws + W) // f], f, axis=1)
+
+                def ldc():
+                    return jnp.repeat(
+                        carry[0, :, ws // f:(ws + W) // f], f, axis=1)
+        elif ws is None:
             def ld(bslot, t):
                 return ibuf[bslot, t]
 
@@ -414,7 +436,8 @@ def _pad_shear(inc: jnp.ndarray, dma_batch: int):
 ALIGNED_MIN_PAIR_BYTES = 512
 
 
-def _aligned_streams_ps(planes, f: int, dma_batch: int, slab):
+def _aligned_streams_ps(planes, f: int, dma_batch: int, slab,
+                        stretch: bool = True):
     """Aligned pairs-minor stream construction for pairs-on-sublanes slabs.
 
     ``planes``: list of (B, Mb, Nb) base increment grids (all identical
@@ -426,6 +449,11 @@ def _aligned_streams_ps(planes, f: int, dma_batch: int, slab):
     Chain: one transpose to pairs-minor (minor swap, fast), pad, ALIGNED
     flat-stride shear, interleaved row-repeat on the major axis, and a
     final minor-swap transpose into slab order.
+
+    ``stretch=False`` (f > 1 only): skip the row-repeat -- streams stay at
+    BASE lane width ``(W, P, ceil(L/f))``, f x less stream HBM and two
+    passes run on f x less data; the kernel dilates lanes on load
+    (``jnp.repeat(_, f, axis=1)``, a cheap Mosaic interleave).
     """
     B, Mb, Nb = planes[0].shape
     P_dim, L = slab                        # pairs-on-sublanes slab
@@ -450,9 +478,9 @@ def _aligned_streams_ps(planes, f: int, dma_batch: int, slab):
         # shear; the last view row stays in bounds (R_tot*W < R_tot*W0)
         S = xp.reshape(R_tot * W0, P_dim)[: R_tot * W]
         S = S.reshape(R_tot, W, P_dim)
-        if f > 1:
+        if f > 1 and stretch:
             S = jnp.repeat(S, f, axis=0)[:L]   # refined rows (major axis)
-        outs.append(jnp.transpose(S, (1, 2, 0)))   # (W, P, L)
+        outs.append(jnp.transpose(S, (1, 2, 0)))   # (W, P, L | R_rows)
     return outs
 
 
@@ -591,12 +619,15 @@ def _stretch_stream(base3: jnp.ndarray, f: int, dma_batch: int,
     return jnp.repeat(R, f, axis=2)[:, :, :L]
 
 
-def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int):
+def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int,
+                     base_lanes: bool = False):
     """Stream + slab geometry for a solve at ``dyadic_order``.
 
-    Returns ``(sk, n_steps, row_axis, slab, f)``: with ``f > 1`` the
-    stream is the row-stretched base stream (offset 0, ``f^2``x smaller);
-    with ``f == 1`` the plain refined stream (step ``q`` at ``q+IN_OFF``).
+    Returns ``(sk, n_steps, row_axis, slab, f, dilate)``: with ``f > 1``
+    the stream is the row-stretched base stream (offset 0, ``f^2``x
+    smaller); with ``f == 1`` the plain refined stream (step ``q`` at
+    ``q+IN_OFF``). ``base_lanes``: aligned f > 1 streams stay at base lane
+    width (``dilate=True``; the kernel lane-dilates on load).
     """
     f = 2 ** dyadic_order
     B, Mb, Nb = inc3.shape
@@ -605,29 +636,32 @@ def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int):
         if _use_aligned(B, slab, row_axis):
             (sk,) = _aligned_streams_ps([inc3.astype(jnp.float32)], 1,
                                         dma_batch, slab)
-            return sk, Mb + Nb - 1, row_axis, slab, 1
+            return sk, Mb + Nb - 1, row_axis, slab, 1, False
         sk, n_steps, row_axis, slab = _pad_shear(inc3, dma_batch)
-        return sk, n_steps, row_axis, slab, f
+        return sk, n_steps, row_axis, slab, f, False
     MM, NN = Mb * f, Nb * f
     row_axis, slab, _ = _layout(B, MM)
     base = inc3.astype(jnp.float32) * jnp.float32(1.0 / (f * f))  # exact
     if _use_aligned(B, slab, row_axis):
-        (sk,) = _aligned_streams_ps([base], f, dma_batch, slab)
-    else:
-        sk = _stretch_stream(base, f, dma_batch, row_axis, slab)
-    return sk, MM + NN - 1, row_axis, slab, f
+        (sk,) = _aligned_streams_ps([base], f, dma_batch, slab,
+                                    stretch=not base_lanes)
+        return sk, MM + NN - 1, row_axis, slab, f, bool(base_lanes)
+    sk = _stretch_stream(base, f, dma_batch, row_axis, slab)
+    return sk, MM + NN - 1, row_axis, slab, f, False
 
 
 def _solve_final_one(inc3: jnp.ndarray, naive: bool,
                      dyadic_order: int = 0) -> jnp.ndarray:
     B = inc3.shape[0]
-    sk, n_steps, row_axis, slab, f = _stream_geometry(
-        inc3, dyadic_order, DMA_BATCH)
+    sk, n_steps, row_axis, slab, f, dil = _stream_geometry(
+        inc3, dyadic_order, DMA_BATCH, base_lanes=BASE_LANES)
     MM = inc3.shape[-2] * f
+    sslab = sk.shape[1:] if dil else slab
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive,
                                grid_out=False, refine=f,
-                               NN=inc3.shape[-1] * f, window_seg=WINDOW_SEG)
+                               NN=inc3.shape[-1] * f, window_seg=WINDOW_SEG,
+                               base_lanes=dil)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(slab, jnp.float32),
@@ -635,9 +669,9 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2,) + slab, jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + sslab, jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM((1,) + slab, jnp.float32),
+            pltpu.VMEM((1,) + sslab, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -648,7 +682,7 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
 def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
                     dyadic_order: int = 0) -> jnp.ndarray:
     B = inc3.shape[0]
-    sk, n_steps, row_axis, slab, f = _stream_geometry(
+    sk, n_steps, row_axis, slab, f, _ = _stream_geometry(
         inc3, dyadic_order, DMA_BATCH)
     MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
     # aligned output extent (the fast unshear transposes it to minor), with
@@ -725,7 +759,7 @@ def _solve_stack_one(inc3: jnp.ndarray, naive: bool,
     fused adjoint's descending window loads need headroom; entry ``q``
     lands at stack position ``q + out_pad``)."""
     B = inc3.shape[0]
-    sk, n_steps, row_axis, slab, f = _stream_geometry(
+    sk, n_steps, row_axis, slab, f, _ = _stream_geometry(
         inc3, dyadic_order, DMA_BATCH)
     MM = inc3.shape[-2] * f
     Tp = ceil_to(n_steps + 2, LANES)
