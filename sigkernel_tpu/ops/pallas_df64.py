@@ -328,7 +328,14 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                                   stk_ref.at[_ix(q + out_offset)],
                                   isem.at[_ix(4 + sp)]).start()
 
-    def make_body(ws=None, W=None, iiw=None):
+    def make_body(ws=None, W=None, iiw=None, guarded=True):
+        def when_q(q):
+            """Static-guard elision: interior window phases cannot overrun
+            ``n_steps``, so their steps skip the per-step predicate."""
+            if guarded:
+                return pl.when(q < n_steps)
+            return lambda fn: fn()
+
         if base_lanes:
             # streams are BASE lane width: slice the base window, then
             # lane-dilate (y[i] = x[i//f]; jnp.repeat lowers to a cheap
@@ -376,7 +383,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                 if f == 1:
                     q = b * T + t
 
-                    @pl.when(q < n_steps)
+                    @when_q(q)
                     def _(q=q, t=t):
                         step(q, ld(ibh, bslot, t), ld(ibl, bslot, t),
                              t % 2, 1 - t % 2, t % 2, ws, W, iiw)
@@ -386,7 +393,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                         q = k * f + s
                         sp = s % 2   # == q % 2 (f even)
 
-                        @pl.when(q < n_steps)
+                        @when_q(q)
                         def _(q=q, t=t, s=s, sp=sp):
                             # previous diagonal: carry at batch start (the
                             # other DMA slot is racing with the prefetch)
@@ -414,8 +421,9 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
         for (b0, b1, ws_p, W_p) in phases:
             iiw = (lax.broadcasted_iota(jnp.int32, (slab[0], W_p), 1)
                    + jnp.int32(ws_p))
+            guarded = b1 * spb > n_steps   # only the tail phase can overrun
             lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
-                          make_body(ws_p, W_p, iiw), 0)
+                          make_body(ws_p, W_p, iiw, guarded), 0)
 
     last = (n_steps - 1) % 2
     if grid_out:

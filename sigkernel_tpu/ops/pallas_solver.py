@@ -220,7 +220,12 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                                   out_ref.at[_ix(q + out_offset)],
                                   isem.at[_ix(2 + sp)]).start()
 
-    def make_body(ws=None, W=None, iiw=None):
+    def make_body(ws=None, W=None, iiw=None, guarded=True):
+        def when_q(q):
+            if guarded:
+                return pl.when(q < n_steps)
+            return lambda fn: fn()
+
         if base_lanes:
             # base-lane-width streams: slice the base window, lane-dilate
             # on load (y[i] = x[i//f]; cheap Mosaic interleave)
@@ -265,7 +270,7 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                 if f == 1:
                     q = b * T + t
 
-                    @pl.when(q < n_steps)
+                    @when_q(q)
                     def _(q=q, t=t):
                         step(q, ld(bslot, t), t % 2, 1 - t % 2, t % 2,
                              ws, W, iiw)
@@ -275,7 +280,7 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                         q = k * f + s
                         sp = s % 2   # == q % 2 (f even)
 
-                        @pl.when(q < n_steps)
+                        @when_q(q)
                         def _(q=q, t=t, s=s, sp=sp):
                             prev = ldc() if t == 0 else ld(bslot, t - 1)
                             sel = lax.rem(ii_loc, jnp.int32(f)) <= s
@@ -295,8 +300,9 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
         for (b0, b1, ws_p, W_p) in phases:
             iiw = (lax.broadcasted_iota(jnp.int32, (slab[0], W_p), 1)
                    + jnp.int32(ws_p))
+            guarded = b1 * spb > n_steps   # only the tail phase can overrun
             lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
-                          make_body(ws_p, W_p, iiw), 0)
+                          make_body(ws_p, W_p, iiw, guarded), 0)
 
     last = (n_steps - 1) % 2
     if grid_out:
