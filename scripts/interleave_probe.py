@@ -42,6 +42,11 @@ def kernel(o_ref, s_in, s_out, *, mode, n_steps):
         x = s_in[0] * (1.0 + 1e-9 * lax.convert_element_type(i, jnp.float32))
         if mode == "repeat":
             y = jnp.repeat(x, f, axis=1)
+        elif mode == "compact":
+            # inverse of dilation: f-block lane sum via strided slicing
+            z = jnp.repeat(x, f, axis=1)
+            cz = z[:, ::2] + z[:, 1::2]
+            y = jnp.concatenate([cz, jnp.zeros_like(cz)], axis=1)
         elif mode == "bcast":
             y = jnp.broadcast_to(x[:, :, None], (P, Lb, f))
             y = y.reshape(P, Lb * f)
@@ -102,7 +107,7 @@ def run(mode, n_steps=N_STEPS):
 with pltpu.force_tpu_interpret_mode() if os.environ.get(
         "INTERLEAVE_INTERPRET") else _nullcontext():
     if os.environ.get("INTERLEAVE_INTERPRET"):
-        for mode in ("repeat", "bcast"):
+        for mode in ("repeat", "bcast", "compact"):
             kern = functools.partial(kernel, mode=mode, n_steps=1)
             out = pl.pallas_call(
                 kern,
@@ -111,10 +116,17 @@ with pltpu.force_tpu_interpret_mode() if os.environ.get(
                                 pltpu.VMEM((1, P, Lb * f), jnp.float32)],
             )()
             want = np.repeat(np.ones((P, Lb), np.float32), f, axis=1)
-            ok = np.array_equal(np.asarray(out), want)
+            if mode == "compact":
+                want = want[:, ::2] + want[:, 1::2]
+                want = np.pad(want, ((0, 0), (0, Lb)))
+                got = np.asarray(out)
+                ok = np.array_equal(got[:, :Lb], want[:, :Lb])
+            else:
+                ok = np.array_equal(np.asarray(out), want)
             print(f"interpret {mode}: {'OK' if ok else 'BAD'}")
 
 if not os.environ.get("INTERLEAVE_INTERPRET"):
-    for mode in ("repeat", "bcast", "ptrepeat_roll", "tile_baseline"):
+    for mode in ("repeat", "bcast", "compact", "ptrepeat_roll",
+                 "tile_baseline"):
         run(mode)
 print("done")

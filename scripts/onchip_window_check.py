@@ -117,14 +117,30 @@ for seg in ((0, 512, 256) if MODE in ("all", "time") else ()):
     print(f"3. fwd kernel seg={seg:4d}: {ms:7.2f} ms/iter "
           f"(t2={t2:.1f} t6={t6:.1f})")
 
+if MODE == "wprobe":
+    # Pure windowed-step cost at fixed W for the WHOLE sweep (garbage
+    # values; timing only): if cost scales ~W/L, windows are fine and the
+    # phase-mix math is the discrepancy; if not, per-step overhead = f(W).
+    n_b = 1023   # cdiv(cdiv(4091, 2), 2)
+    for (ws, W) in ((0, 2048), (0, 1024), (0, 640), (1408, 640), (0, 256)):
+        fp = ((0, n_b, ws, W),)
+        ms, t2, t6 = slope(lambda h, l, fp=fp:
+                           pallas_df64._solve_final_one_df(
+                               h, l, False, dy, forced_phases=fp))
+        print(f"W1. fixed window ws={ws:4d} W={W:4d}: {ms:7.2f} ms/iter "
+              f"(t2={t2:.1f} t6={t6:.1f})", flush=True)
+
 if MODE == "dil":
     # Base-lane streams + in-kernel dilation: value A/B (must be
     # bit-equal), adjoint A/B, and slope timings of kernel + construction.
     import sigkernel_tpu.ops.pallas_solver as ps
 
     def set_bl(v):
+        # the flag is read at TRACE time: every toggle must drop the jit
+        # caches or the old executable is silently reused
         ps.BASE_LANES = v
         pallas_df64.BASE_LANES = v
+        jax.clear_caches()
 
     set_bl(False)
     vfull = np.asarray(val_only(hi, lo, 256))
@@ -146,7 +162,6 @@ if MODE == "dil":
     set_bl(False)
     ctf = np.asarray(_ct2(hi, lo, g))
     set_bl(True)
-    jax.clear_caches()
     ctd = np.asarray(_ct2(hi, lo, g))
     scale = max(float(np.max(np.abs(ctf))), 1e-30)
     err = float(np.max(np.abs(ctd - ctf)) / scale)
@@ -159,7 +174,6 @@ if MODE == "dil":
     # slope timings: kernel alone and full stream construction
     for bl in (False, True):
         set_bl(bl)
-        jax.clear_caches()
         ms, t2, t6 = slope(lambda h, l: pallas_df64._solve_final_one_df(
             h, l, False, dy, window_seg=256))
         print(f"D3. fwd kernel+streams bl={int(bl)}: {ms:7.2f} ms/iter "

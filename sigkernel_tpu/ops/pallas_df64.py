@@ -172,7 +172,8 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                          sh_ref, sl_ref, ibh, ibl, isem, carryh, carryl,
                          ckbuf=None, *, n_steps, MM, row_axis, naive,
                          grid_out, out_offset=0, refine=1, hi_stack=False,
-                         ckpt_c=0, NN=None, window_seg=0, base_lanes=False):
+                         ckpt_c=0, NN=None, window_seg=0, base_lanes=False,
+                         forced_phases=None):
     """Double-double wavefront; ``refine > 1`` consumes the row-stretched
     base stream (select + roll per step; see
     ``pallas_solver._wavefront_kernel`` for the refinement contract).
@@ -211,6 +212,11 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
     if window_seg and row_axis == 1 and NN is not None and not grid_out:
         phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
                                 window_seg)
+    if forced_phases is not None:
+        # timing-probe override: run the whole sweep under an arbitrary
+        # static window plan (results are garbage unless the plan covers
+        # the active region -- scripts/onchip_window_check.py wprobe mode)
+        phases = forced_phases
 
     sh_ref[0] = jnp.ones(slab, jnp.float32)
     sh_ref[1] = jnp.ones(slab, jnp.float32)
@@ -540,7 +546,8 @@ def _df_scratch(slab, ckpt=False, stream_slab=None):
 
 def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
                         dyadic_order: int = 0, stack_pad=None,
-                        ckpt: bool = False, window_seg=None):
+                        ckpt: bool = False, window_seg=None,
+                        forced_phases=None):
     """Final-corner df64 solve; with ``stack_pad`` also returns the hi
     plane's diagonal stack (entry q at q + stack_pad) for adjoint reuse.
     With ``ckpt`` instead returns the SPARSE checkpoint stack (pair m of
@@ -573,7 +580,7 @@ def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
                                ckpt_c=ckpt_c, NN=hi3.shape[-1] * f,
                                window_seg=(WINDOW_SEG if window_seg is None
                                            else window_seg),
-                               base_lanes=dil)
+                               base_lanes=dil, forced_phases=forced_phases)
     outh, outl, stk = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
