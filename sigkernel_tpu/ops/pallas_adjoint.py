@@ -209,7 +209,7 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
 def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                              ibuf, fbuf, acc, obuf, isem, carry,
                              *, n_steps, MM, NN, L_f, naive, pad_f, refine,
-                             base_lanes=False):
+                             base_lanes=False, window_seg=0):
     """Transposed-reverse sweep + in-flight product + in-kernel dyadic
     collapse of the cotangent to BASE anti-diagonals (refine = f > 1 only).
 
@@ -239,6 +239,16 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
     iif = lax.broadcasted_iota(jnp.int32, (P, L_f), 1)
     one = jnp.float32(1.0)
     zslab = jnp.zeros((P, L_f), jnp.float32)
+
+    # Lane-window phase plan for the reverse SOLVE only (the in-flight
+    # product reads the full state slab -- frozen rows hold their final
+    # values, the same invariant as the forward windows)
+    from .pallas_solver import _window_phases
+    spb = TB * f
+    phases = None
+    if window_seg:
+        phases = _window_phases(n_batches, spb, n_steps, MM, L_r,
+                                window_seg)
     A = (n_steps - 3) // f      # k(q) = A - m - c, m = b*TB + t
     r0 = (n_steps - 3) % f      # q mod f == (r0 - s_i) mod f
 
@@ -303,25 +313,40 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
     for c in in_copies(0, 0):
         c.start()
 
-    def step(q_r, u, bslot, fb_idx, sp, s_i, t):
+    def step(q_r, u, bslot, fb_idx, sp, s_i, t, ws=None, W=None,
+             iiw=None):
         vm2_s, vm1_s = sp, 1 - sp
-        vm1 = state[vm1_s]
-        k10 = vm1
-        k01 = pltpu.roll(vm1, jnp.int32(1), axis=1)
-        k00 = pltpu.roll(state[vm2_s], jnp.int32(1), axis=1)
+        if ws is None:
+            k10 = state[vm1_s]
+            p2 = state[vm2_s]
+            ii_loc = ii
+        else:
+            k10 = state[vm1_s, :, ws:ws + W]
+            p2 = state[vm2_s, :, ws:ws + W]
+            ii_loc = iiw
+        k01 = pltpu.roll(k10, jnp.int32(1), axis=1)
+        k00 = pltpu.roll(p2, jnp.int32(1), axis=1)
         v = _scheme(k00, k01, k10, u, naive)
-        v = jnp.where((ii == 0) | (ii == q_r + 2) | (ii > NN),
+        v = jnp.where((ii_loc == 0) | (ii_loc == q_r + 2) | (ii_loc > NN),
                       one, v)
-        state[vm2_s] = v
+        if ws is not None and ws > 0:
+            # window-bottom margin (roll wrap); keep the frozen value
+            v = jnp.where(ii_loc == ws, p2, v)
+        if ws is None:
+            state[vm2_s] = v
+        else:
+            state[vm2_s, :, ws:ws + W] = v
 
         q = n_steps - 3 - q_r
 
         @pl.when(q >= 0)
         def _():
             # product stored at lane i-1: A2 shift drops by one, the
-            # forward entry needs no roll at all
+            # forward entry needs no roll at all. Full-slab state read:
+            # frozen rows outside the window hold their final values.
+            vf = state[vm2_s] if ws is not None else v
             s = jnp.int32(MM - 3 - q_r) % jnp.int32(L_r)
-            A2 = pltpu.roll(v, s, axis=1)[:, :L_f]
+            A2 = pltpu.roll(vf, s, axis=1)[:, :L_f]
             F = fbuf[bslot, fb_idx]                # S_f[q - 2]
             F = jnp.where(q >= 2, F, one)          # fwd boundary
             prod = F * A2 * g_ref[...]
@@ -333,42 +358,73 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                 k_dyn = _ix(A) - lax.div(_ix(q_r), jnp.int32(f))
                 flush(k_par, k_dyn)
 
-    def ld(bslot, t):
-        v = ibuf[bslot, t]
-        return jnp.repeat(v, f, axis=1) if base_lanes else v
+    def make_body(ws=None, W=None, iiw=None, guarded=True):
+        if ws is None:
+            def ld(bslot, t):
+                v = ibuf[bslot, t]
+                return jnp.repeat(v, f, axis=1) if base_lanes else v
 
-    def ldc():
-        v = carry[0]
-        return jnp.repeat(v, f, axis=1) if base_lanes else v
+            def ldc():
+                v = carry[0]
+                return jnp.repeat(v, f, axis=1) if base_lanes else v
+        elif base_lanes:
+            def ld(bslot, t):
+                return jnp.repeat(
+                    ibuf[bslot, t, :, ws // f:(ws + W) // f], f, axis=1)
 
-    def body(b, _):
-        bslot = lax.rem(b, jnp.int32(2))
+            def ldc():
+                return jnp.repeat(
+                    carry[0, :, ws // f:(ws + W) // f], f, axis=1)
+        else:
+            def ld(bslot, t):
+                return ibuf[bslot, t, :, ws:ws + W]
 
-        @pl.when(b + 1 < n_batches)
-        def _():
-            for c in in_copies(b + 1, 1 - bslot):
-                c.start()
+            def ldc():
+                return carry[0, :, ws:ws + W]
+        ii_loc = ii if ws is None else iiw
 
-        for c in in_copies(b, bslot):
-            c.wait()
+        def when_q(q_r):
+            if guarded:
+                return pl.when(q_r < n_steps)
+            return lambda fn: fn()
 
-        for t in range(TB):
-            for s_i in range(f):
-                q_r = (b * TB + t) * f + s_i
-                sp = s_i % 2   # == q_r % 2 (f even)
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
 
-                @pl.when(q_r < n_steps)
-                def _(q_r=q_r, t=t, s_i=s_i, sp=sp):
-                    prev = ldc() if t == 0 else ld(bslot, t - 1)
-                    sel = lax.rem(ii, jnp.int32(f)) <= s_i
-                    pre = jnp.where(sel, ld(bslot, t), prev)
-                    u = pltpu.roll(pre, jnp.int32(1), axis=1)
-                    step(q_r, u, bslot, TBf - 1 - (t * f + s_i), sp,
-                         s_i, t)
-        carry[0] = ibuf[bslot, TB - 1]
-        return 0
+            @pl.when(b + 1 < n_batches)
+            def _():
+                for c in in_copies(b + 1, 1 - bslot):
+                    c.start()
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+            for c in in_copies(b, bslot):
+                c.wait()
+
+            for t in range(TB):
+                for s_i in range(f):
+                    q_r = (b * TB + t) * f + s_i
+                    sp = s_i % 2   # == q_r % 2 (f even)
+
+                    @when_q(q_r)
+                    def _(q_r=q_r, t=t, s_i=s_i, sp=sp):
+                        prev = ldc() if t == 0 else ld(bslot, t - 1)
+                        sel = lax.rem(ii_loc, jnp.int32(f)) <= s_i
+                        pre = jnp.where(sel, ld(bslot, t), prev)
+                        u = pltpu.roll(pre, jnp.int32(1), axis=1)
+                        step(q_r, u, bslot, TBf - 1 - (t * f + s_i), sp,
+                             s_i, t, ws, W, iiw)
+            carry[0] = ibuf[bslot, TB - 1]
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            iiw = (lax.broadcasted_iota(jnp.int32, (P, W_p), 1)
+                   + jnp.int32(ws_p))
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, iiw, guarded), 0)
 
     # drain both flush chains (shapes identical; the index is irrelevant
     # to the semaphore wait)
@@ -819,9 +875,12 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
 
         V = -(-T // f) + 1
         Tp_out = ceil_to(V + 4, LANES)
+        from .pallas_solver import WINDOW_SEG as _WSEG
+
         kernel = functools.partial(_product_collapse_kernel, n_steps=T,
                                    MM=MM, NN=NN, L_f=L_f, naive=naive,
-                                   pad_f=pad_f, refine=f, base_lanes=dil)
+                                   pad_f=pad_f, refine=f, base_lanes=dil,
+                                   window_seg=_WSEG)
         cot_b = pl.pallas_call(
             kernel,
             out_shape=jax.ShapeDtypeStruct((Tp_out, P, L_f), jnp.float32),

@@ -93,3 +93,26 @@ def test_adjoint_fused_collapsed_matches_refined(rng, shape, dyadic_order):
     want = np.asarray(_collapse_refined(KK, dyadic_order, jnp.float32))
     assert got.shape == want.shape
     np.testing.assert_allclose(got, want, rtol=3e-5, atol=3e-6)
+
+
+def test_collapse_adjoint_windowed_bitexact(rng, monkeypatch):
+    """Lane-windowed reverse solve in the collapse-product kernel: the
+    retained products only ever pair active-region reverse values with
+    valid forward lanes, so the cotangent must be BIT-equal to the
+    full-slab sweep."""
+    import sigkernel_tpu.ops.pallas_solver as ps
+    from sigkernel_tpu.ops import pallas_adjoint
+
+    inc = jnp.asarray(rng.normal(size=(4, 85, 85)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+
+    plan = ps._window_phases(-(-(-(-339 // 2)) // 4), 8, 339, 170, 256, 32)
+    assert plan is not None and any(p[2] > 0 for p in plan)
+
+    monkeypatch.setattr(ps, "WINDOW_SEG", 0)
+    full = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=1))
+    monkeypatch.setattr(ps, "WINDOW_SEG", 32)
+    win = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=1))
+    np.testing.assert_array_equal(win, full)
