@@ -117,6 +117,32 @@ for seg in ((0, 512, 256) if MODE in ("all", "time") else ()):
     print(f"3. fwd kernel seg={seg:4d}: {ms:7.2f} ms/iter "
           f"(t2={t2:.1f} t6={t6:.1f})")
 
+if MODE == "awin":
+    # Adjoint reverse-solve windowing A/B: cotangent must be bit-equal.
+    import sigkernel_tpu.ops.pallas_solver as ps
+
+    @jax.jit
+    def _ct3(h, l, gv):
+        v, s = pallas_df64._solve_final_one_df(h, l, False, dy,
+                                               stack_pad=_pad_f(f))
+        return pallas_adjoint.adjoint_fused_collapsed(
+            h, gv, naive=False, dyadic_order=dy, fwd_stack=s[None])
+
+    def ct_seg(seg):
+        ps.WINDOW_SEG = seg
+        jax.clear_caches()
+        return np.asarray(_ct3(hi, lo, g))
+
+    cf = ct_seg(0)
+    cw = ct_seg(256)
+    bit = np.array_equal(cw, cf)
+    print(f"{'A1. windowed-adjoint cotangent bit-equal':44s}"
+          f" {'OK ' if bit else 'BAD'}"
+          f" maxdiff={np.max(np.abs(cw - cf)):.3e}", flush=True)
+    if not bit:
+        FAIL.append("awin")
+    ps.WINDOW_SEG = 256
+
 if MODE == "wprobe":
     # Pure windowed-step cost at fixed W for the WHOLE sweep (garbage
     # values; timing only): if cost scales ~W/L, windows are fine and the

@@ -44,7 +44,8 @@ def supported(inc) -> bool:
 
 def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
                   kst, dst, sst, ibu, ibd, ibs, isem, carry,
-                  *, n_steps, MM, row_axis, refine=1):
+                  *, n_steps, MM, row_axis, refine=1, NN=None,
+                  window_seg=0):
     """Triple-state wavefront (higher-order scheme for K, coupled
     product-rule recurrences for the derivative states). ``refine > 1``
     consumes row-stretched base streams (select + roll per step + a carry
@@ -58,6 +59,17 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
     ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
+
+    # Lane-window phase plan (see pallas_solver._window_phases): the
+    # derivative recurrences share the K scheme's constant-continuation
+    # invariant (u = ud = us = 0 reproduces each state's value), so
+    # frozen rows outside the window equal full compute.
+    from .pallas_solver import _window_phases
+    spb = T * f if f > 1 else T
+    phases = None
+    if window_seg and row_axis == 1 and NN is not None:
+        phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
+                                window_seg)
 
     kst[0] = jnp.ones(slab, jnp.float32)
     kst[1] = jnp.ones(slab, jnp.float32)
@@ -83,21 +95,25 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
     def roll(x):
         return pltpu.roll(x, jnp.int32(1), axis=row_axis)
 
-    def body(b, _):
-        bslot = lax.rem(b, jnp.int32(2))
+    def make_body(ws=None, W=None, iiw=None, guarded=True):
+        ii_loc = ii if ws is None else iiw
 
-        @pl.when(b + 1 < n_batches)
-        def _():
-            for c in in_copies(b + 1, 1 - bslot):
-                c.start()
+        def sl(ref, *idx):
+            v = ref[idx] if len(idx) > 1 else ref[idx[0]]
+            return v if ws is None else v[:, ws:ws + W]
 
-        for c in in_copies(b, bslot):
-            c.wait()
+        def when_q(q):
+            if guarded:
+                return pl.when(q < n_steps)
+            return lambda fn: fn()
 
         def step(q, u, ud, us, vm2, vm1):
-                k10, k01, k00 = kst[vm1], roll(kst[vm1]), roll(kst[vm2])
-                d10, d01, d00 = dst[vm1], roll(dst[vm1]), roll(dst[vm2])
-                s10, s01, s00 = sst[vm1], roll(sst[vm1]), roll(sst[vm2])
+                k10, p2k = sl(kst, vm1), sl(kst, vm2)
+                d10, p2d = sl(dst, vm1), sl(dst, vm2)
+                s10, p2s = sl(sst, vm1), sl(sst, vm2)
+                k01, k00 = roll(k10), roll(p2k)
+                d01, d00 = roll(d10), roll(p2d)
+                s01, s00 = roll(s10), roll(p2s)
 
                 u2 = u * u * jnp.float32(1.0 / 12.0)
                 k = (k01 + k10) * (1.0 + 0.5 * u + u2) - k00 * (1.0 - u2)
@@ -114,44 +130,81 @@ def _deriv_kernel(u_hbm, ud_hbm, us_hbm, outk_ref, outd_ref, outs_ref,
                 g4 = k * us + 2.0 * d * ud + (s01 + s10 - s00 + g1) * u
                 s = s01 + s10 - s00 + 0.25 * (g1 + g2 + g3 + g4)
 
-                bnd = (ii == 0) | (ii == q + 2) | (ii > MM)
-                kst[vm2] = jnp.where(bnd, one, k)
-                dst[vm2] = jnp.where(bnd, zero, d)
-                sst[vm2] = jnp.where(bnd, zero, s)
+                bnd = (ii_loc == 0) | (ii_loc == q + 2) | (ii_loc > MM)
+                k = jnp.where(bnd, one, k)
+                d = jnp.where(bnd, zero, d)
+                s = jnp.where(bnd, zero, s)
+                if ws is not None and ws > 0:
+                    # window-bottom margin: keep the frozen values the
+                    # roll wrapped over
+                    edge = ii_loc == ws
+                    k = jnp.where(edge, p2k, k)
+                    d = jnp.where(edge, p2d, d)
+                    s = jnp.where(edge, p2s, s)
+                if ws is None:
+                    kst[vm2] = k
+                    dst[vm2] = d
+                    sst[vm2] = s
+                else:
+                    kst[vm2, :, ws:ws + W] = k
+                    dst[vm2, :, ws:ws + W] = d
+                    sst[vm2, :, ws:ws + W] = s
 
-        for t in range(T):
-            if f == 1:
-                q = b * T + t
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
 
-                @pl.when(q < n_steps)
-                def _(q=q, t=t):
-                    step(q, ibu[bslot, t], ibd[bslot, t], ibs[bslot, t],
-                         t % 2, 1 - t % 2)
-            else:
-                kk = b * T + t
-                for s_i in range(f):
-                    q = kk * f + s_i
-                    sp = s_i % 2   # == q % 2 (f even)
+            @pl.when(b + 1 < n_batches)
+            def _():
+                for c in in_copies(b + 1, 1 - bslot):
+                    c.start()
 
-                    @pl.when(q < n_steps)
-                    def _(q=q, t=t, s_i=s_i, sp=sp):
-                        sel = lax.rem(ii, jnp.int32(f)) <= s_i
+            for c in in_copies(b, bslot):
+                c.wait()
 
-                        def take(ib, ci):
-                            prev = carry[ci] if t == 0 else ib[bslot, t - 1]
-                            pre = jnp.where(sel, ib[bslot, t], prev)
-                            return pltpu.roll(pre, jnp.int32(1),
-                                              axis=row_axis)
+            for t in range(T):
+                if f == 1:
+                    q = b * T + t
 
-                        step(q, take(ibu, 0), take(ibd, 1), take(ibs, 2),
-                             sp, 1 - sp)
-        if f > 1:
-            carry[0] = ibu[bslot, T - 1]
-            carry[1] = ibd[bslot, T - 1]
-            carry[2] = ibs[bslot, T - 1]
-        return 0
+                    @when_q(q)
+                    def _(q=q, t=t):
+                        step(q, sl(ibu, bslot, t), sl(ibd, bslot, t),
+                             sl(ibs, bslot, t), t % 2, 1 - t % 2)
+                else:
+                    kk = b * T + t
+                    for s_i in range(f):
+                        q = kk * f + s_i
+                        sp = s_i % 2   # == q % 2 (f even)
 
-    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+                        @when_q(q)
+                        def _(q=q, t=t, s_i=s_i, sp=sp):
+                            sel = lax.rem(ii_loc, jnp.int32(f)) <= s_i
+
+                            def take(ib, ci):
+                                prev = (sl(carry, ci) if t == 0
+                                        else sl(ib, bslot, t - 1))
+                                pre = jnp.where(sel, sl(ib, bslot, t),
+                                                prev)
+                                return pltpu.roll(pre, jnp.int32(1),
+                                                  axis=row_axis)
+
+                            step(q, take(ibu, 0), take(ibd, 1),
+                                 take(ibs, 2), sp, 1 - sp)
+            if f > 1:
+                carry[0] = ibu[bslot, T - 1]
+                carry[1] = ibd[bslot, T - 1]
+                carry[2] = ibs[bslot, T - 1]
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            iiw = (lax.broadcasted_iota(jnp.int32, (slab[0], W_p), 1)
+                   + jnp.int32(ws_p))
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, iiw, guarded), 0)
 
     last = (n_steps - 1) % 2
     outk_ref[...] = kst[last]
@@ -186,8 +239,11 @@ def _solve_one(incs, dyadic_order=0):
             sku = _stretch_stream(u3 * sc, f, DMA_BATCH, row_axis, slab)
             skd = _stretch_stream(ud3 * sc, f, DMA_BATCH, row_axis, slab)
             sks = _stretch_stream(us3 * sc, f, DMA_BATCH, row_axis, slab)
+    from .pallas_solver import WINDOW_SEG
+
     kernel = functools.partial(_deriv_kernel, n_steps=n_steps, MM=MM,
-                               row_axis=row_axis, refine=f)
+                               row_axis=row_axis, refine=f, NN=NN,
+                               window_seg=WINDOW_SEG)
     outk, outd, outs = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),) * 3,

@@ -105,3 +105,21 @@ def test_triple_base_stream_refinement(rng, shape, dyadic_order):
     for g_, w_ in zip(got, want):
         np.testing.assert_allclose(np.asarray(g_), np.asarray(w_),
                                    rtol=3e-5, atol=3e-6)
+
+
+def test_derivatives_windowed_bitexact(rng, monkeypatch):
+    """Lane-windowed triple wavefront == full sweep, bit for bit."""
+    import sigkernel_tpu.ops.pallas_solver as ps
+    from sigkernel_tpu.ops import pallas_derivatives as pd
+
+    B, Mb, Nb = 4, 85, 85
+    u = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1, jnp.float32)
+    ud = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1, jnp.float32)
+    us = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1, jnp.float32)
+
+    monkeypatch.setattr(ps, "WINDOW_SEG", 0)
+    full = [np.asarray(x) for x in pd._solve_one((u, ud, us), 1)]
+    monkeypatch.setattr(ps, "WINDOW_SEG", 32)
+    win = [np.asarray(x) for x in pd._solve_one((u, ud, us), 1)]
+    for w, f_ in zip(win, full):
+        np.testing.assert_array_equal(w, f_)
