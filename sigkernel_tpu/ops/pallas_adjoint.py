@@ -47,6 +47,12 @@ from .pallas_solver import (LANES, SUBLANES, MAX_ROWS, PS_LAYOUT_MAX_B,
 from ..utils import ceil_to, dyadic_refine
 
 TB = 4        # diagonals per DMA batch (even: static ping-pong slots)
+# In-kernel f-block lane compaction of the collapsed cotangent at flush
+# time (strided lane slices; removes the XLA block-sum pass and halves the
+# emitted base stack). Opt-in until the Mosaic strided-slice cost is
+# chip-confirmed (scripts/interleave_probe.py "compact" mode).
+import os as _os
+COLLAPSE_COMPACT = bool(int(_os.environ.get("SIG_COLLAPSE_COMPACT", "0")))
 PAD_F = 8     # legacy headroom constant (refine=1); see _pad_f
 
 
@@ -209,7 +215,7 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
 def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                              ibuf, fbuf, acc, obuf, isem, carry,
                              *, n_steps, MM, NN, L_f, naive, pad_f, refine,
-                             base_lanes=False, window_seg=0):
+                             base_lanes=False, window_seg=0, compact=False):
     """Transposed-reverse sweep + in-flight product + in-kernel dyadic
     collapse of the cotangent to BASE anti-diagonals (refine = f > 1 only).
 
@@ -258,11 +264,19 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
     acc[1] = zslab
 
     def flush(slot, k_entry):
-        """Emit acc[slot] as base-stack entry ``k_entry`` (+2 offset)."""
+        """Emit acc[slot] as base-stack entry ``k_entry`` (+2 offset);
+        with ``compact``, f-block-sum the lanes first (the XLA side's
+        block reduction moves in-kernel, f x less cotangent-stack HBM)."""
         pltpu.make_async_copy(obuf.at[_ix(slot)],
                               out_hbm.at[_ix(k_entry + 2)],
                               isem.at[_ix(4 + slot)]).wait()
-        obuf[slot] = acc[slot]
+        if compact:
+            a = acc[slot]
+            while a.shape[1] > L_f // f:
+                a = a[:, ::2] + a[:, 1::2]
+            obuf[slot] = a
+        else:
+            obuf[slot] = acc[slot]
         acc[slot] = zslab
         pltpu.make_async_copy(obuf.at[_ix(slot)],
                               out_hbm.at[_ix(k_entry + 2)],
@@ -275,8 +289,9 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
 
     # seed the per-slot wait chains (entries V+2, V+3 are never read)
     V = n_slots + 1
-    obuf[0] = zslab
-    obuf[1] = zslab
+    zout = jnp.zeros(obuf.shape[1:], jnp.float32)
+    obuf[0] = zout
+    obuf[1] = zout
     pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(V + 2)],
                           isem.at[_ix(4)]).start()
     pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(V + 3)],
@@ -877,13 +892,15 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         Tp_out = ceil_to(V + 4, LANES)
         from .pallas_solver import WINDOW_SEG as _WSEG
 
+        compact = COLLAPSE_COMPACT and L_f % f == 0
+        L_out = L_f // f if compact else L_f
         kernel = functools.partial(_product_collapse_kernel, n_steps=T,
                                    MM=MM, NN=NN, L_f=L_f, naive=naive,
                                    pad_f=pad_f, refine=f, base_lanes=dil,
-                                   window_seg=_WSEG)
+                                   window_seg=_WSEG, compact=compact)
         cot_b = pl.pallas_call(
             kernel,
-            out_shape=jax.ShapeDtypeStruct((Tp_out, P, L_f), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Tp_out, P, L_out), jnp.float32),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pl.ANY),
                       pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -893,7 +910,7 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
                 pltpu.VMEM((2, TB, P, L_in), jnp.float32),
                 pltpu.VMEM((2, TB * f, P, L_f), jnp.float32),
                 pltpu.VMEM((2, P, L_f), jnp.float32),
-                pltpu.VMEM((2, P, L_f), jnp.float32),
+                pltpu.VMEM((2, P, L_out), jnp.float32),
                 pltpu.SemaphoreType.DMA((6,)),
                 pltpu.VMEM((1, P, L_in), jnp.float32),
             ],
@@ -901,9 +918,13 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
                 vmem_limit_bytes=110 * 1024 * 1024),
         )(sk, S_f, gp)
 
-        # f-aligned lane-block sum (products live at lane i-1), base
-        # unshear (entry kb at kb + 2: flat-stride, tail pad only), scale
-        Ds = cot_b[:, :, : f * Mb].reshape(Tp_out, P, Mb, f).sum(-1)
+        # base unshear (entry kb at kb + 2: flat-stride, tail pad only),
+        # exact 1/f^2 scale; without in-kernel compaction an f-aligned
+        # lane-block sum comes first (products live at lane i-1)
+        if compact:
+            Ds = cot_b[:, :, :Mb]
+        else:
+            Ds = cot_b[:, :, : f * Mb].reshape(Tp_out, P, Mb, f).sum(-1)
         DT = jnp.transpose(Ds, (1, 2, 0))                  # (P, Mb, Tp_out)
         flat = jnp.pad(DT.reshape(P, Mb * Tp_out), ((0, 0), (0, Mb)))
         K = flat.reshape(P, Mb, Tp_out + 1)[:, :, 2: 2 + Nb]

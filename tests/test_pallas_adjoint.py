@@ -116,3 +116,29 @@ def test_collapse_adjoint_windowed_bitexact(rng, monkeypatch):
     win = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
         inc, g, naive=False, dyadic_order=1))
     np.testing.assert_array_equal(win, full)
+
+
+def test_collapse_adjoint_compact_bitexact(rng, monkeypatch):
+    """In-kernel f-block lane compaction at flush time == the XLA-side
+    block sum, bit for bit (same addition order: pairwise tree)."""
+    from sigkernel_tpu.ops import pallas_adjoint
+
+    inc = jnp.asarray(rng.normal(size=(4, 40, 40)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(4,)), jnp.float32)
+
+    monkeypatch.setattr(pallas_adjoint, "COLLAPSE_COMPACT", False)
+    full = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=1))
+    monkeypatch.setattr(pallas_adjoint, "COLLAPSE_COMPACT", True)
+    comp = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=1))
+    np.testing.assert_allclose(comp, full, rtol=1e-6, atol=1e-7)
+
+    # dyadic 2: two compaction stages
+    monkeypatch.setattr(pallas_adjoint, "COLLAPSE_COMPACT", False)
+    full2 = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc[:, :20, :20], g, naive=False, dyadic_order=2))
+    monkeypatch.setattr(pallas_adjoint, "COLLAPSE_COMPACT", True)
+    comp2 = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc[:, :20, :20], g, naive=False, dyadic_order=2))
+    np.testing.assert_allclose(comp2, full2, rtol=1e-6, atol=1e-7)
