@@ -804,6 +804,39 @@ def adjoint_fused(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
     return _chunk_map(one, (inc32, g.astype(jnp.float32)), chunk)
 
 
+def solve_final_f32_stack(inc3, naive: bool, dyadic_order: int):
+    """f32 final-corner solve that ALSO emits per-chunk diagonal stacks
+    (entry q at q + ``_pad_f(f)``) for :func:`adjoint_fused_collapsed` --
+    one forward sweep serves both the value and the backward's in-flight
+    product, mirroring the df path's ``solve_final_df_stack``.
+
+    Returns ``(values (B,), stacks (nc, Tp, P, L_f))``; chunked with
+    ``shared_chunk`` so the adjoint consumes stacks chunk-by-chunk.
+    Caller gates on :func:`stack_shareable` (and residual capacity).
+    """
+    f = 2 ** dyadic_order
+    B, Mb, Nb = inc3.shape
+    MM, NN = Mb * f, Nb * f
+    T = MM + NN - 1
+    pad = _pad_f(f)
+    chunk = shared_chunk(MM, NN)
+
+    def one(c):
+        S = _solve_stack_one(c, naive, dyadic_order, out_pad=pad)
+        # the final corner lives on the last diagonal at row MM
+        val = S[T - 1 + pad, :, MM]
+        return val, S
+
+    if B <= chunk:
+        val, S = one(inc3)
+        return val[:B], S[None]
+    Bp = ceil_to(B, chunk)
+    inc4 = jnp.pad(inc3, ((0, Bp - B), (0, 0), (0, 0)))
+    inc4 = inc4.reshape(Bp // chunk, chunk, Mb, Nb)
+    val, stk = jax.lax.map(one, inc4)
+    return val.reshape(Bp)[:B], stk
+
+
 def shared_chunk(MM: int, NN: int) -> int:
     """The pair-chunk size BOTH the stack-emitting df64 forward and the
     collapsed adjoint must use for their per-chunk stacks to pair up."""

@@ -209,7 +209,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
     # bit-for-bit; see _window_phases). Pairs-on-sublanes slabs only.
     spb = T * f if f > 1 else T
     phases = None
-    if window_seg and row_axis == 1 and NN is not None and not grid_out:
+    if window_seg and row_axis == 1 and NN is not None:
         phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
                                 window_seg)
     if forced_phases is not None:

@@ -167,7 +167,7 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
     # sliding row window of each anti-diagonal. Pairs-on-sublanes only.
     spb = T * f if f > 1 else T
     phases = None
-    if window_seg and row_axis == 1 and NN is not None and not grid_out:
+    if window_seg and row_axis == 1 and NN is not None:
         phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
                                 window_seg)
 

@@ -160,8 +160,41 @@ def _collapse_refined(KK, dyadic_order, dtype):
     return (KK.sum(axis=(-3, -1)) / (f * f)).astype(dtype)
 
 
+def _full_stack_bytes(B, Mb, Nb, f):
+    """Total bytes of per-chunk forward stacks (all live as residuals)."""
+    from . import pallas_adjoint
+    from .pallas_solver import LANES as _L
+    from ..utils import ceil_to as _ceil
+
+    MM, NN = Mb * f, Nb * f
+    chunk = pallas_adjoint.shared_chunk(MM, NN)
+    nc = -(-B // chunk)
+    slab_rows = _ceil(min(B, chunk), 8)
+    Tp = _ceil(MM + NN - 1 + 2, _L) + pallas_adjoint._pad_f(f)
+    return nc * Tp * slab_rows * _ceil(MM + 1, _L) * 4
+
+
+def _f32_stack_gate(inc, dyadic_order: int) -> bool:
+    """Share the f32 forward's diagonal stack with the fused adjoint?
+    Needs the stack-shareable geometry and the residual capacity budget
+    (see CKPT_STACK_BYTES); static decision."""
+    from . import pallas_adjoint
+
+    B, Mb, Nb = inc.shape
+    f = 2 ** dyadic_order
+    return (pallas_adjoint.stack_shareable(B, Mb, Nb, dyadic_order)
+            and _full_stack_bytes(B, Mb, Nb, f) <= CKPT_STACK_BYTES)
+
+
 def _solve_fwd(inc, naive, solver, dyadic_order, grad_solver):
-    return _solve_final(inc, naive, solver, dyadic_order), inc
+    s = _resolve(solver, inc, dyadic_order)
+    if s == "pallas" and _f32_stack_gate(inc, dyadic_order):
+        from . import pallas_adjoint
+
+        val, stk = pallas_adjoint.solve_final_f32_stack(inc, naive,
+                                                        dyadic_order)
+        return val, (inc, stk)
+    return _solve_final(inc, naive, solver, dyadic_order), (inc, None)
 
 
 def _grid_route_bwd(inc, g, naive, solver, dyadic_order):
@@ -180,9 +213,10 @@ def _grid_route_bwd(inc, g, naive, solver, dyadic_order):
     return (_collapse_refined(KK, dyadic_order, inc.dtype),)
 
 
-def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
+def _solve_bwd(naive, solver, dyadic_order, grad_solver, res, g):
     from . import pallas_adjoint
 
+    inc, fstk = res
     s = _resolve(solver, inc, dyadic_order)
     # the f64-grade route is taken when forced ("df64") or when "auto" sees
     # f64-grade increments (the pallas_df64 tier): backward precision
@@ -197,7 +231,8 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, inc, g):
         # rectangles whose longer side exceeds VMEM); f32 backward, see
         # module doc
         ct = pallas_adjoint.adjoint_fused_collapsed(
-            inc, g, naive=naive, dyadic_order=dyadic_order)
+            inc, g, naive=naive, dyadic_order=dyadic_order,
+            fwd_stack=fstk if s == "pallas" else None)
         return (ct.astype(inc.dtype),)
     if s == "pallas_blocked" and not (grad_solver == "df64"
                                       and inc.dtype == jnp.float64):
@@ -303,23 +338,15 @@ def _df_ckpt_gate(hi, dyadic_order: int) -> bool:
     import math
 
     from . import pallas_adjoint
-    from .pallas_solver import LANES as _L
-    from ..utils import ceil_to as _ceil
 
     f = 2 ** dyadic_order
     Mb, Nb = hi.shape[-2], hi.shape[-1]
-    MM, NN = Mb * f, Nb * f
-    T = MM + NN - 1
+    T = (Mb + Nb) * f - 1
     if not (_df_stack_gate(hi, dyadic_order)
             and pallas_adjoint.ckpt_supported(T, f)):
         return False
     B = math.prod(hi.shape[:-2])
-    chunk = pallas_adjoint.shared_chunk(MM, NN)
-    nc = -(-B // chunk)
-    slab_rows = _ceil(chunk, 8)
-    Tp = _ceil(T + 2, _L) + pallas_adjoint._pad_f(f)
-    full_bytes = nc * Tp * slab_rows * _ceil(MM + 1, _L) * 4
-    return full_bytes > CKPT_STACK_BYTES
+    return _full_stack_bytes(B, Mb, Nb, f) > CKPT_STACK_BYTES
 
 
 def _solve_df_fwd(dd_df, naive, dyadic_order):

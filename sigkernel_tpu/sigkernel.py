@@ -88,7 +88,7 @@ def _pair_fused_bwd(dyadic_order, naive, res, g):
         return double_difference(sk_.batch_kernel(x, y))
 
     inc, vjp = jax.vjp(inc_fn, static_kernel, X, Y)
-    (ct,) = _solve_bwd(naive, "auto", dyadic_order, "auto", inc,
+    (ct,) = _solve_bwd(naive, "auto", dyadic_order, "auto", (inc, None),
                        g.astype(inc.dtype))
     return vjp(ct)
 

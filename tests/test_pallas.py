@@ -228,3 +228,56 @@ def test_f32_base_lane_streams_bitexact(rng):
         np.testing.assert_array_equal(dil, full)
     finally:
         ps.BASE_LANES = old
+
+
+def test_f32_windowed_grid_and_stack_match_full(rng):
+    """grid_out (stack-emitting) sweeps under lane windows: the unsheared
+    grid and the valid stack region must be bit-equal to the full sweep."""
+    import sigkernel_tpu.ops.pallas_solver as ps
+
+    inc = jnp.asarray(rng.normal(size=(4, 80, 20)) * 0.1, jnp.float32)
+    old = ps.WINDOW_SEG
+    try:
+        ps.WINDOW_SEG = 0
+        gf = np.asarray(ps._solve_grid_one(inc, False, 1))
+        sf = np.asarray(ps._solve_stack_one(inc, False, 1, out_pad=8))
+        ps.WINDOW_SEG = 32
+        gw = np.asarray(ps._solve_grid_one(inc, False, 1))
+        sw = np.asarray(ps._solve_stack_one(inc, False, 1, out_pad=8))
+        np.testing.assert_array_equal(gw, gf)
+        both = np.isfinite(sf) & np.isfinite(sw)
+        np.testing.assert_array_equal(sw[both], sf[both])
+    finally:
+        ps.WINDOW_SEG = old
+
+
+def test_f32_stack_sharing_route(rng, monkeypatch):
+    """f32 forward-stack sharing: the custom_vjp residual carries the
+    forward's diagonal stacks and the backward's fused adjoint consumes
+    them -- value and gradient must match the non-shared route."""
+    import jax
+    from sigkernel_tpu.ops.solve import solve, _f32_stack_gate
+    from sigkernel_tpu.ops import solve as solve_mod
+    from sigkernel_tpu.ops import pallas_solver as ps
+    from sigkernel_tpu.ops import pallas_adjoint as pa
+
+    monkeypatch.setattr(ps, "supported",
+                        lambda probe: probe.dtype == jnp.float32)
+    monkeypatch.setattr(pa, "supported", lambda MM, NN: True)
+
+    inc = jnp.asarray(rng.normal(size=(3, 6, 5)) * 0.1, jnp.float32)
+    assert _f32_stack_gate(inc, 1)
+
+    v_sh, g_sh = jax.value_and_grad(
+        lambda u: solve(u, False, "pallas", 1).sum())(inc)
+
+    # disable sharing: same route without the residual stack
+    monkeypatch.setattr(solve_mod, "_f32_stack_gate", lambda *a: False)
+    v_ns, g_ns = jax.value_and_grad(
+        lambda u: solve(u, False, "pallas", 1).sum())(inc)
+
+    np.testing.assert_allclose(float(v_sh), float(v_ns), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_sh), np.asarray(g_ns),
+                               rtol=1e-5, atol=1e-6)
+
+
