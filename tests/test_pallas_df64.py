@@ -176,7 +176,8 @@ def test_hi_stack_sharing_chunked(rng, monkeypatch):
 
 
 @pytest.mark.parametrize("naive", [True, False])
-@pytest.mark.parametrize("shape,dyadic", [((4, 160, 40), 0), ((4, 80, 20), 1)])
+@pytest.mark.parametrize("shape,dyadic", [((4, 160, 40), 0), ((4, 80, 20), 1),
+                                          ((4, 100, 300), 1)])
 def test_df64_windowed_phases_match_full(rng, naive, shape, dyadic):
     """Lane-windowed wavefront compute vs the full-slab sweep.
 
@@ -194,7 +195,7 @@ def test_df64_windowed_phases_match_full(rng, naive, shape, dyadic):
     n_steps = MM + NN - 1
     spb = pallas_df64.DMA_BATCH * f if f > 1 else pallas_df64.DMA_BATCH
     phases = _window_phases(-(-(-(-n_steps // f) // pallas_df64.DMA_BATCH)),
-                            spb, n_steps, NN, 256, 32)
+                            spb, n_steps, NN, 128 * -(-(MM + 1) // 128), 32)
     assert phases is not None and len(phases) > 1
     assert any(p[2] > 0 for p in phases), "plan must include a ws>0 phase"
 
