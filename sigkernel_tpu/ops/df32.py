@@ -203,14 +203,15 @@ _INV_LN2 = np.float32(1.0 / _LN2)
 _EXP_ORDER = 10
 
 
-def exp_(x):
-    """Double-float ``exp``; ~1e-15 relative accuracy.
+def exp_taylor_(x):
+    """Double-float ``exp`` (legacy full-DF Taylor; kept as the accuracy
+    yardstick for :func:`exp_`).
 
     ``exp(x) = 2^k * exp(r)`` with ``r = x - k ln2``, ``|r| <= ln2/2``; the
-    reduced exponential is a degree-13 Taylor polynomial evaluated by Horner
-    in DF arithmetic. Inputs below f32's exp range underflow to 0 (the
-    callers feed RBF exponents; increments that small are numerically
-    irrelevant). ~650 f32 ops.
+    reduced exponential is an order-``_EXP_ORDER`` Taylor polynomial
+    evaluated by Horner in DF arithmetic. Inputs below f32's exp range
+    underflow to 0 (the callers feed RBF exponents; increments that small
+    are numerically irrelevant). ~650 f32 ops.
     """
     xh, xl = x
     k = jnp.round(xh * _INV_LN2)
@@ -236,6 +237,71 @@ def exp_(x):
     two_k = lax.bitcast_convert_type((ki + 127) << 23, jnp.float32)
     two_k = jnp.where(k < -126.0, jnp.float32(0.0), two_k)
     return p[0] * two_k, p[1] * two_k
+
+
+# 2^(j/8) for j = 0..7 as numpy-precomputed DF constants (the fine-reduction
+# table of exp_); rel error of each entry ~2^-48
+_EXP8_TABLE = tuple(
+    (np.float32(v), np.float32(v - float(np.float32(v))))
+    for v in (float(2.0 ** (j / 8.0)) for j in range(8)))
+
+
+def exp_(x):
+    """Double-float ``exp`` via 8x-fine reduction + hybrid DF/f32 Taylor.
+
+    ``exp(x) = 2^m * 2^(j/8) * exp(r)`` with ``k = round(x * 8/ln2)``,
+    ``m = floor(k/8)``, ``j = k - 8m in [0, 8)`` and ``r = x - k ln2/8``,
+    ``|r| <= ln2/16 ~ 0.0433``. The reduced exponential runs Taylor order 3
+    in DF arithmetic plus an order 4..7 tail in plain f32 (largest tail
+    term ``r^4/24 <= 1.5e-7``, so its f32 rounding is ~1e-14 relative --
+    inside the ~2.7e-14 budget the legacy order-10 reduction already
+    accepted). ~250 f32 ops, 2.6x fewer than :func:`exp_taylor_`; accuracy
+    pinned by ``tests/test_df_prep.py::test_df32_exp_accuracy`` and the
+    A/B test against the legacy path.
+    """
+    from jax import lax
+
+    xh, xl = x
+    k = jnp.round(xh * np.float32(8.0 / _LN2))
+    # r = x - k*(ln2/8): constant-hardened DF multiply, accurate add
+    r = add_((xh, xl), neg(mul_const(from_f32(k), _LN2 / 8.0)))
+
+    # DF Horner through order 3: p = 1 + r + r^2/2 + r^3/6
+    p = mul_const(r, 1.0 / 6.0)
+    p = add_const(p, 0.5)
+    p = mul_(p, r)
+    p = add_const(p, 1.0)
+    p = mul_(p, r)
+    p = add_const(p, 1.0)
+    # f32 tail, orders 4..7 (magnitudes <= 1.5e-7: f32 rounding is ~1e-14
+    # relative to exp(r) ~ 1)
+    rt = r[0]
+    r2 = rt * rt
+    tail = (r2 * r2) * (np.float32(1.0 / 24.0)
+                        + rt * (np.float32(1.0 / 120.0)
+                                + rt * (np.float32(1.0 / 720.0)
+                                        + rt * np.float32(1.0 / 5040.0))))
+    p = add_f32(p, tail)
+
+    # 2^(j/8) from the table (j = k - 8m is an exact small-integer f32)
+    m = jnp.floor(k * np.float32(0.125))
+    j = k - np.float32(8.0) * m
+    th = jnp.broadcast_to(_EXP8_TABLE[0][0], xh.shape)
+    tl = jnp.broadcast_to(_EXP8_TABLE[0][1], xh.shape)
+    for ji in range(1, 8):
+        sel = j == np.float32(ji)
+        th = jnp.where(sel, _EXP8_TABLE[ji][0], th)
+        tl = jnp.where(sel, _EXP8_TABLE[ji][1], tl)
+    p = mul_(p, (th, tl))
+
+    # scale by 2^m exactly per component (exponent-bit assembly; jnp.exp2
+    # is an inexact polynomial). Below f32 range: flush to zero -- a
+    # clamped exponent would overestimate deep RBF tails by orders of
+    # magnitude.
+    mi = jnp.clip(m, -126.0, 127.0).astype(jnp.int32)
+    two_m = lax.bitcast_convert_type((mi + 127) << 23, jnp.float32)
+    two_m = jnp.where(m < -126.0, jnp.float32(0.0), two_m)
+    return p[0] * two_m, p[1] * two_m
 
 
 def expm1_(x):

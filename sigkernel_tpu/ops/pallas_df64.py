@@ -131,6 +131,78 @@ def _df_mul_const(xh, xl, c: float):
     return _quick_two_sum(p, e)
 
 
+def _df_sqr(xh, xl):
+    p, e = _two_prod(xh, xh)
+    return _quick_two_sum(p, e + jnp.float32(2.0) * (xh * xl))
+
+
+def _df_add_f32(xh, xl, b32):
+    s, e = _two_sum(xh, b32)
+    return _quick_two_sum(s, e + xl)
+
+
+# 2^(j/8), j = 0..7, as numpy-precomputed DF constants (fine-reduction
+# table of _df_exp; never enters an EFT as a bare literal -- selected into
+# a traced tensor first)
+_EXP8_TABLE = tuple(
+    (np.float32(v), np.float32(v - float(np.float32(v))))
+    for v in (float(2.0 ** (j / 8.0)) for j in range(8)))
+_LN2 = float(np.log(2.0))
+
+
+def _df_exp(xh, xl):
+    """In-kernel double-float ``exp`` (Mosaic-safe mirror of
+    :func:`..df32.exp_`): 8x-fine reduction + DF Taylor order 3 + f32 tail.
+
+    Differences from the XLA version, forced by the kernel environment:
+    no ``optimization_barrier`` (literal-involving ``add_const`` EFTs are
+    avoided by the ``T*(1+w)`` expm1 factorisation: every two_sum runs on
+    traced values), and ``2^m`` is assembled as a product of 7 selected
+    power-of-two factors instead of exponent-bit bitcasting (exact either
+    way; ``m`` is clamped to [-64, 0] -- RBF exponents are <= ~0 and
+    ``exp < 2^-64`` is ~5e-20, far below the increment budget).
+    """
+    k = jnp.floor(xh * np.float32(8.0 / _LN2) + np.float32(0.5))
+    # r = x - k*(ln2/8); |r| <= ln2/16
+    th_, tl_ = _df_mul_const(k, jnp.zeros_like(k), _LN2 / 8.0)
+    rh, rl = _df_add(xh, xl, -th_, -tl_)
+
+    # w = exp(r) - 1 = r + r^2/2 + r^3/6 + f32-tail(orders 4..7)
+    r2h, r2l = _df_sqr(rh, rl)
+    h2h, h2l = r2h * jnp.float32(0.5), r2l * jnp.float32(0.5)
+    c3h, c3l = _df_mul(r2h, r2l, rh, rl)
+    c3h, c3l = _df_mul_const(c3h, c3l, 1.0 / 6.0)
+    r4 = r2h * r2h
+    tail = r4 * (np.float32(1.0 / 24.0)
+                 + rh * (np.float32(1.0 / 120.0)
+                         + rh * (np.float32(1.0 / 720.0)
+                                 + rh * np.float32(1.0 / 5040.0))))
+    wh, wl = _df_add(rh, rl, h2h, h2l)
+    ch, cl = _df_add_f32(c3h, c3l, tail)
+    wh, wl = _df_add(wh, wl, ch, cl)
+
+    # table 2^(j/8): j = k - 8*floor(k/8) is an exact small-integer f32
+    m = jnp.floor(k * np.float32(0.125))
+    j = k - np.float32(8.0) * m
+    tbh = jnp.full_like(xh, _EXP8_TABLE[0][0])
+    tbl = jnp.full_like(xh, _EXP8_TABLE[0][1])
+    for ji in range(1, 8):
+        sel = j == np.float32(ji)
+        tbh = jnp.where(sel, _EXP8_TABLE[ji][0], tbh)
+        tbl = jnp.where(sel, _EXP8_TABLE[ji][1], tbl)
+    # exp(r + j ln2/8) = T * (1 + w) = T + T*w (EFTs on traced values only)
+    ph, pl_ = _df_mul(tbh, tbl, wh, wl)
+    ph, pl_ = _df_add(tbh, tbl, ph, pl_)
+
+    # 2^m as a product of selected power-of-two factors (each mul exact)
+    mm = (-jnp.clip(m, -64.0, 0.0)).astype(jnp.int32)
+    two_m = jnp.ones_like(xh)
+    for b in (1, 2, 4, 8, 16, 32, 64):
+        two_m = two_m * jnp.where((mm & b) != 0,
+                                  np.float32(2.0 ** (-b)), np.float32(1.0))
+    return ph * two_m, pl_ * two_m
+
+
 def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
     """Double-double version of the two update schemes.
 

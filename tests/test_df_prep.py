@@ -25,6 +25,18 @@ def test_df32_exp_accuracy(rng):
     assert (np.abs(got - want)[m] / want[m]).max() < 5e-13
 
 
+def test_df32_exp_matches_legacy_taylor(rng):
+    # the fast (8x-fine reduction, hybrid DF/f32 tail) exp_ must stay within
+    # the legacy full-DF Taylor's accuracy envelope -- both ~1e-13 of f64
+    x = jnp.asarray(rng.uniform(-90, 3, size=(5000,)))
+    fast = np.asarray(df32.to_f64(df32.exp_(df32.from_f64(x))))
+    legacy = np.asarray(df32.to_f64(df32.exp_taylor_(df32.from_f64(x))))
+    want = np.exp(np.asarray(x))
+    m = want > 1e-6
+    assert (np.abs(fast - want)[m] / want[m]).max() < 5e-13
+    assert (np.abs(fast - legacy)[m] / want[m]).max() < 1e-12
+
+
 def test_df32_cancelling_add(rng):
     a = jnp.asarray(rng.normal(size=(1000,)))
     b = -a + 1e-9 * jnp.asarray(rng.normal(size=(1000,)))
