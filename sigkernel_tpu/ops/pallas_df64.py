@@ -36,8 +36,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .pallas_solver import (LANES, MAX_ROWS, IN_OFF, WINDOW_SEG, BASE_LANES,
-                            _ix, _maybe_transpose, _pad_shear,
-                            _extract_final, _stack_to_grid, _window_phases)
+                            _ix, _maybe_transpose, _pad_shear, _layout,
+                            _chunk_map, _extract_final, _stack_to_grid,
+                            _window_phases)
 from ..utils import ceil_to
 
 DMA_BATCH = 2  # smaller than the f32 kernel: two ibuf planes (hi, lo)
@@ -541,6 +542,609 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
 
 
 # ---------------------------------------------------------------------------
+# Plane-split wavefront: refined lanes as f base-width planes
+#
+# Mosaic cannot lower ANY lane-dilation shuffle (jnp.repeat / broadcast+
+# reshape / strided slices all fail AOT -- scripts/dilate_probe.py), so the
+# in-kernel dyadic refinement must never materialise a refined-width vector
+# from base-width data. The fix is a change of representation: a refined
+# array Z (P, L) is carried as f base-width planes Z_p[i] = Z[f*i + p].
+# Under this split every piece of the refined wavefront step gets CHEAPER:
+#
+# - the stretched-increment select  (i' mod f <= s ? d_k : d_{k-1})  becomes
+#   a compile-time plane choice (p <= s picks the current base diagonal) --
+#   no select ops, and the streams stay at BASE lane width (f x less stream
+#   HBM + construction, with no dilation anywhere);
+# - the dependency roll by one refined lane becomes plane re-indexing
+#   (y_p = Z_{p-1}, free) plus ONE base-width roll for plane 0 -- f x less
+#   roll work;
+# - the boundary masks hit a single (plane, lane) resolved at compile time
+#   per in-batch position.
+#
+# The arithmetic scheme itself is elementwise and runs per plane (same
+# total lane count). Values are BIT-IDENTICAL to the stretched-width
+# kernel: every operation is the same f32 op on the same operands, only
+# the lane placement differs.
+# ---------------------------------------------------------------------------
+
+
+def _wavefront_df_planes_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref,
+                                stk_ref, sh_ref, sl_ref, ibh, ibl, isem,
+                                carryh, carryl, *, n_steps, MM, NN, naive,
+                                refine, hi_stack=False, out_offset=0,
+                                window_seg=0):
+    """Plane-split double-double wavefront (refine = f >= 2).
+
+    ``inch/incl``: base-diagonal streams ``(W, P, Lb)``, entry ``k`` = base
+    anti-diagonal ``k`` at base row lanes (offset 0, pre-scaled by 1/f^2).
+    ``sh/sl``: ``(2, f, P, Lb)`` ping-pong state planes. ``stk_ref``
+    (``hi_stack``): ``(Tp, f, P, Lb)`` hi diagonal stack, entry q at
+    q + out_offset, plane layout (the plane-split adjoint consumes it).
+    """
+    T = DMA_BATCH
+    f = refine
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, T)
+    P, Lb = sh_ref.shape[2], sh_ref.shape[3]
+    iib = lax.broadcasted_iota(jnp.int32, (P, Lb), 1)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    spb = T * f
+    phases = None
+    if window_seg:
+        phases = _window_phases(n_batches, spb, n_steps, NN, f * Lb,
+                                window_seg, align=f * LANES)
+
+    for p in range(f):
+        sh_ref[0, p] = jnp.ones((P, Lb), jnp.float32)
+        sh_ref[1, p] = jnp.ones((P, Lb), jnp.float32)
+        sl_ref[0, p] = jnp.zeros((P, Lb), jnp.float32)
+        sl_ref[1, p] = jnp.zeros((P, Lb), jnp.float32)
+
+    def in_copy(b, slot):
+        ds = pl.ds(_ix(b * T), T)
+        return (pltpu.make_async_copy(inch_hbm.at[ds], ibh.at[_ix(slot)],
+                                      isem.at[_ix(slot)]),
+                pltpu.make_async_copy(incl_hbm.at[ds], ibl.at[_ix(slot)],
+                                      isem.at[_ix(2 + slot)]))
+
+    for c in in_copy(0, 0):
+        c.start()
+
+    def step(q, k, s, sp, cur, prev, wsb=None, Wb=None, iibw=None):
+        """One refined step in plane representation (sp = q % 2, static).
+
+        ``cur``/``prev``: (hi, lo) base-increment slabs for diagonals k,
+        k-1, already window-sliced. ``q``/``k`` traced, ``s`` static.
+        """
+        vm2, vm1 = sp, 1 - sp
+        iiw = iib if wsb is None else iibw
+
+        def st(ref, slot, p):
+            if wsb is None:
+                return ref[slot, p]
+            return ref[slot, p, :, wsb:wsb + Wb]
+
+        # assemble all plane inputs BEFORE any write (plane p reads the
+        # old value of plane p-1)
+        k10 = [(st(sh_ref, vm1, p), st(sl_ref, vm1, p)) for p in range(f)]
+        p2 = [(st(sh_ref, vm2, p), st(sl_ref, vm2, p)) for p in range(f)]
+
+        def rolled(pair):
+            return (pltpu.roll(pair[0], jnp.int32(1), axis=1),
+                    pltpu.roll(pair[1], jnp.int32(1), axis=1))
+
+        k01 = [rolled(k10[f - 1])] + k10[:f - 1]
+        k00 = [rolled(p2[f - 1])] + p2[:f - 1]
+        # pre_p = (p <= s ? cur : prev); u_p = pre_{p-1}, u_0 = roll(pre_-1)
+        u = [rolled(cur if s == f - 1 else prev)] + \
+            [(cur if p <= s else prev) for p in range(f - 1)]
+
+        # boundary mask: refined lane q+2 lives on ONE static plane
+        p_star = (s + 2) % f
+        off = (s + 2 - p_star) // f          # 0 or 1, static
+        hit_lane = jnp.int32(0) + k + off
+
+        vs = []
+        for p in range(f):
+            vh, vl = _df_scheme(k00[p][0], k00[p][1], k01[p][0], k01[p][1],
+                                k10[p][0], k10[p][1], u[p][0], u[p][1],
+                                naive)
+            mask = iiw > (MM - p) // f       # refined row f*i + p > MM
+            if p == p_star:
+                mask = mask | (iiw == hit_lane)
+            if p == 0:
+                mask = mask | (iiw == 0)
+            vh = jnp.where(mask, one, vh)
+            vl = jnp.where(mask, zero, vl)
+            if wsb is not None and wsb > 0 and p == 0:
+                # window-bottom edge: the plane-0 rolls wrapped the window
+                # top into lane wsb; keep the frozen value
+                edge = iiw == wsb
+                vh = jnp.where(edge, p2[0][0], vh)
+                vl = jnp.where(edge, p2[0][1], vl)
+            vs.append((vh, vl))
+
+        if hi_stack:
+            @pl.when(q >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    sh_ref.at[_ix(vm2)],
+                    stk_ref.at[_ix(q - 2 + out_offset)],
+                    isem.at[_ix(4 + sp)]).wait()
+        for p in range(f):
+            if wsb is None:
+                sh_ref[vm2, p] = vs[p][0]
+                sl_ref[vm2, p] = vs[p][1]
+            else:
+                sh_ref[vm2, p, :, wsb:wsb + Wb] = vs[p][0]
+                sl_ref[vm2, p, :, wsb:wsb + Wb] = vs[p][1]
+        if hi_stack:
+            pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
+                                  stk_ref.at[_ix(q + out_offset)],
+                                  isem.at[_ix(4 + sp)]).start()
+
+    def make_body(ws=None, W=None, guarded=True):
+        wsb = None if ws is None else ws // f
+        Wb = None if ws is None else W // f
+        iibw = None if ws is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
+
+        def when_q(q):
+            if guarded:
+                return pl.when(q < n_steps)
+            return lambda fn: fn()
+
+        def sl_in(x):
+            return x if wsb is None else x[:, wsb:wsb + Wb]
+
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
+
+            @pl.when(b + 1 < n_batches)
+            def _():
+                for c in in_copy(b + 1, 1 - bslot):
+                    c.start()
+
+            for c in in_copy(b, bslot):
+                c.wait()
+
+            for t in range(T):
+                k = b * T + t
+                for s in range(f):
+                    q = k * f + s
+                    sp = s % 2           # == q % 2 (f even)
+
+                    @when_q(q)
+                    def _(k=k, t=t, s=s, sp=sp, q=q):
+                        cur = (sl_in(ibh[bslot, t]), sl_in(ibl[bslot, t]))
+                        prev = ((sl_in(carryh[0]), sl_in(carryl[0]))
+                                if t == 0
+                                else (sl_in(ibh[bslot, t - 1]),
+                                      sl_in(ibl[bslot, t - 1])))
+                        step(q, k, s, sp, cur, prev, wsb, Wb, iibw)
+            carryh[0] = ibh[bslot, T - 1]
+            carryl[0] = ibl[bslot, T - 1]
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, guarded), 0)
+
+    last = (n_steps - 1) % 2
+    if hi_stack:
+        pltpu.make_async_copy(sh_ref.at[_ix(last)],
+                              stk_ref.at[_ix(n_steps - 1 + out_offset)],
+                              isem.at[_ix(4 + last)]).wait()
+        @pl.when(n_steps >= 2)
+        def _():
+            pltpu.make_async_copy(
+                sh_ref.at[_ix(1 - last)],
+                stk_ref.at[_ix(n_steps - 2 + out_offset)],
+                isem.at[_ix(4 + (1 - last))]).wait()
+    for p in range(f):
+        outh_ref[p] = sh_ref[last, p]
+        outl_ref[p] = sl_ref[last, p]
+
+
+def planes_ok(B: int, Mb: int, Nb: int, dyadic_order: int) -> bool:
+    """Geometry gate for the plane-split df64 kernel: TPU backend,
+    pairs-on-sublanes layout, f in (2, 4), refined rows within VMEM."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    f = 2 ** dyadic_order
+    if f not in (2, 4) or Mb < 1 or Nb < 1:
+        return False
+    MM = Mb * f
+    if MM + 1 > MAX_ROWS or B > 128:
+        return False
+    row_axis, _, _ = _layout(B, MM)
+    return row_axis == 1
+
+
+def _solve_final_one_df_pl(hi3, lo3, naive, dyadic_order,
+                           stack_pad=None, window_seg=None):
+    """Plane-split final-corner df64 solve (bit-identical values to
+    :func:`_solve_final_one_df`, base-width streams, f x less roll work).
+    With ``stack_pad`` also returns the hi stack in PLANE layout
+    ``(Tp, f, P, Lb)`` for the plane-split adjoint."""
+    from .pallas_solver import _base_stream
+
+    B, Mb, Nb = hi3.shape
+    f = 2 ** dyadic_order
+    MM, NN = Mb * f, Nb * f
+    n_steps = MM + NN - 1
+    row_axis, slab, _ = _layout(B, MM)
+    assert row_axis == 1, "plane-split kernel is pairs-on-sublanes only"
+    P, L = slab
+    Lb = L // f
+    s = jnp.float32(1.0 / (f * f))
+    skh = _base_stream(hi3.astype(jnp.float32) * s, DMA_BATCH, P, Lb, f)
+    skl = _base_stream(lo3.astype(jnp.float32) * s, DMA_BATCH, P, Lb, f)
+
+    hi_stack = stack_pad is not None
+    if hi_stack:
+        Tp = ceil_to(n_steps + 2, LANES) + stack_pad
+        stk_shape, stk_spec = ((Tp, f, P, Lb),
+                               pl.BlockSpec(memory_space=pl.ANY))
+    else:
+        stk_shape = (1, 1, 8, LANES)
+        stk_spec = pl.BlockSpec(memory_space=pl.ANY)
+
+    kernel = functools.partial(
+        _wavefront_df_planes_kernel, n_steps=n_steps, MM=MM, NN=NN,
+        naive=naive, refine=f, hi_stack=hi_stack,
+        out_offset=stack_pad if hi_stack else 0,
+        window_seg=WINDOW_SEG if window_seg is None else window_seg)
+    outh, outl, stk = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((f, P, Lb), jnp.float32),
+                   jax.ShapeDtypeStruct((f, P, Lb), jnp.float32),
+                   jax.ShapeDtypeStruct(stk_shape, jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   stk_spec),
+        scratch_shapes=[
+            pltpu.VMEM((2, f, P, Lb), jnp.float32),
+            pltpu.VMEM((2, f, P, Lb), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, Lb), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, Lb), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((1, P, Lb), jnp.float32),
+            pltpu.VMEM((1, P, Lb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(skh, skl)
+    # final value: refined row MM = plane MM % f, base lane MM // f
+    h = outh[MM % f, :B, MM // f]
+    l = outl[MM % f, :B, MM // f]
+    val = h.astype(jnp.float64) + l.astype(jnp.float64)
+    return (val, stk) if hi_stack else val
+
+
+# ---------------------------------------------------------------------------
+# In-kernel increment generation (RBF): the kernel's only inputs are path
+# points -- no increment grid, no sheared stream, no prep pipeline
+# ---------------------------------------------------------------------------
+
+T_GEN = 6  # base diags per loop batch: 6 = lcm(2, 3) makes both the inc
+           # ping-pong slot (k % 2) and the G rotation slot (k % 3) static
+
+
+def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
+                             yrh_ref, yrl_ref, syh_ref, syl_ref,
+                             rsh_ref, rsl_ref,
+                             outh_ref, outl_ref, stk_ref, inc_ref,
+                             sh_ref, sl_ref, gdh, gdl, gbh, gbl, isem,
+                             *, n_steps, MM, NN, Mb, Nb, naive, refine,
+                             hi_stack=False, out_offset=0, emit_inc=False,
+                             window_seg=0, margin_top=8):
+    """Double-double wavefront with IN-KERNEL RBF increment generation.
+
+    Replaces the XLA prep pipeline (DF Gram + double difference,
+    ~600 ops/cell of VPU work in its own HBM pass) and the sheared stream
+    construction + streaming (the largest remaining HBM passes of the
+    benchmark step) for the RBF static kernel: base increment diagonals are
+    generated on the fly from rolling views of the path points, two G
+    diagonals ahead of the refined wavefront.
+
+    Generation math (mirrors :mod:`.df_prep` op-for-op so values match the
+    stream route to DF rounding): for G point-diagonal ``kk`` (cells
+    ``(a, kk - a)``), lane ``a`` needs ``y[kk - a]`` -- a single dynamic
+    lane-roll of the REVERSED y slab ``yr[t] = y[C - t]`` by
+    ``rho = kk - C`` (roll wrap brings junk that only ever lands outside
+    the valid grid; the increment zero-mask below is the load-bearing
+    guard). Then ``arg = (sx + sy - 2<x, y>) * (-1/sigma)`` and
+    ``G = _df_exp(arg)``, all in double-float. Base increment diagonal
+    ``k`` is the double difference of G diagonals ``k, k+1, k+2`` (kept in
+    a 3-slot rotation), masked to EXACT zeros outside ``0 <= a < Mb,
+    0 <= k - a < Nb`` -- the out-of-column zero-continuation invariant
+    every downstream freeze/extraction relies on -- and pre-scaled by the
+    exact ``1/f^2``.
+
+    Inputs (all VMEM): xh/xl ``(D, P, Lb)`` x components at base row lane
+    ``a``; sxh/sxl ``(P, Lb)`` |x_a|^2; yrh/yrl ``(D, P, Lb)`` reversed y
+    components; syh/syl ``(P, Lb)`` reversed |y_b|^2; rsh/rsl ``(P, 1)``
+    the DF scalar ``-1/sigma``. Outputs: final value slabs, plus
+    optionally the hi solution stack (``hi_stack``, entry q at
+    q + out_offset -- same contract as ``_wavefront_df_kernel``) and the
+    hi increment base-diagonal stack (``emit_inc``, entry k at k; the
+    backward unshears it instead of re-running the prep).
+
+    Lane windows: the refined compute uses the standard phase plan; the
+    generation runs on the same window divided by ``f`` (margin_top must
+    be >= 3f + 2 so G diagonal ``k + 2`` plus its ``a + 1`` shift fit).
+    Register rolls are full-width (O(slab) per step, negligible);
+    arithmetic is windowed.
+    """
+    T = T_GEN
+    f = refine
+    D = xh_ref.shape[0]
+    slab = sh_ref.shape[1:]
+    P = slab[0]
+    Lb = xh_ref.shape[2]
+    C = Lb - 1
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, T)
+    spb = T * f
+    ii = lax.broadcasted_iota(jnp.int32, slab, 1)
+    iib = lax.broadcasted_iota(jnp.int32, (P, Lb), 1)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    inv_f2 = np.float32(1.0 / (f * f))
+
+    phases = None
+    if window_seg:
+        phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
+                                window_seg, margin_top=margin_top)
+
+    sh_ref[0] = jnp.ones(slab, jnp.float32)
+    sh_ref[1] = jnp.ones(slab, jnp.float32)
+    sl_ref[0] = jnp.zeros(slab, jnp.float32)
+    sl_ref[1] = jnp.zeros(slab, jnp.float32)
+    gbh[1] = jnp.zeros((P, Lb), jnp.float32)   # inc diag -1 == exact zeros
+    gbl[1] = jnp.zeros((P, Lb), jnp.float32)
+
+    rsh = rsh_ref[...]
+    rsl = rsl_ref[...]
+
+    def gen_G(kk, wsb=None, Wb=None):
+        """DF G point-diagonal ``kk`` on lanes [wsb, wsb+Wb) (full slab if
+        None). Rolls are full-width; arithmetic windowed."""
+        rho = lax.rem(jnp.int32(kk) - jnp.int32(C) + jnp.int32(2 * Lb),
+                      jnp.int32(Lb))
+
+        def win(v):
+            return v if wsb is None else v[:, wsb:wsb + Wb]
+
+        crh = crl = None
+        for d in range(D):
+            ryh = win(pltpu.roll(yrh_ref[d], rho, axis=1))
+            ryl = win(pltpu.roll(yrl_ref[d], rho, axis=1))
+            ph, pl_ = _df_mul(win(xh_ref[d]), win(xl_ref[d]), ryh, ryl)
+            if crh is None:
+                crh, crl = ph, pl_
+            else:
+                crh, crl = _df_add(crh, crl, ph, pl_)
+        syh = win(pltpu.roll(syh_ref[...], rho, axis=1))
+        syl = win(pltpu.roll(syl_ref[...], rho, axis=1))
+        d2h, d2l = _df_add(win(sxh_ref[...]), win(sxl_ref[...]), syh, syl)
+        m2h, m2l = _df_mul_const(crh, crl, -2.0)
+        d2h, d2l = _df_add(d2h, d2l, m2h, m2l)
+        ah, al = _df_mul(d2h, d2l, rsh, rsl)    # (P, 1) broadcasts
+        return _df_exp(ah, al)
+
+    # pre-loop: G diagonals 0 and 1 (full width; 2 steps, negligible)
+    g0h, g0l = gen_G(0)
+    gdh[0], gdl[0] = g0h, g0l
+    g1h, g1l = gen_G(1)
+    gdh[1], gdl[1] = g1h, g1l
+
+    def gen_inc(k, t, wsb=None, Wb=None):
+        """Generate base inc diagonal ``k`` into gbuf slot ``t % 2``;
+        G slots are static (T = 6 = lcm(2,3)): k % 3 == t % 3."""
+        s2 = (t + 2) % 3           # slot of G diag k+2 (to be written)
+        s1 = (t + 1) % 3
+        s0 = t % 3
+        gh, gl = gen_G(k + 2, wsb, Wb)
+        if wsb is None:
+            gdh[s2], gdl[s2] = gh, gl
+            g0h_, g0l_ = gdh[s0], gdl[s0]
+            g1f_h, g1f_l = gdh[s1], gdl[s1]
+        else:
+            gdh[s2, :, wsb:wsb + Wb] = gh
+            gdl[s2, :, wsb:wsb + Wb] = gl
+            g0h_ = gdh[s0, :, wsb:wsb + Wb]
+            g0l_ = gdl[s0, :, wsb:wsb + Wb]
+            g1f_h, g1f_l = gdh[s1], gdl[s1]
+        # shifts: z[a] = x[a + 1] (roll by Lb - 1; wrap junk lands outside
+        # the valid grid and is zero-masked below)
+        sh1 = jnp.int32(Lb - 1)
+        if wsb is None:
+            g2r_h = pltpu.roll(gh, sh1, axis=1)
+            g2r_l = pltpu.roll(gl, sh1, axis=1)
+        else:
+            g2r_h = pltpu.roll(gdh[s2], sh1, axis=1)[:, wsb:wsb + Wb]
+            g2r_l = pltpu.roll(gdl[s2], sh1, axis=1)[:, wsb:wsb + Wb]
+        g1r_h = pltpu.roll(g1f_h, sh1, axis=1)
+        g1r_l = pltpu.roll(g1f_l, sh1, axis=1)
+        if wsb is not None:
+            g1r_h = g1r_h[:, wsb:wsb + Wb]
+            g1r_l = g1r_l[:, wsb:wsb + Wb]
+            g1h_, g1l_ = g1f_h[:, wsb:wsb + Wb], g1f_l[:, wsb:wsb + Wb]
+        else:
+            g1h_, g1l_ = g1f_h, g1f_l
+        # dd in df_prep._dd's op order: (g11 + g00) - (g10 + g01)
+        ah, al = _df_add(g2r_h, g2r_l, g0h_, g0l_)
+        bh, bl = _df_add(g1r_h, g1r_l, g1h_, g1l_)
+        ih, il = _df_add(ah, al, -bh, -bl)
+        iiw = iib if wsb is None else iib[:, wsb:wsb + Wb]
+        bi = jnp.int32(0) + k - iiw
+        valid = (iiw < Mb) & (bi >= 0) & (bi < Nb)
+        ih = jnp.where(valid, ih * inv_f2, zero)
+        il = jnp.where(valid, il * inv_f2, zero)
+        if emit_inc:
+            # the k-2 emission reads this slot: it must land before the
+            # overwrite below (the dst index is irrelevant to the wait)
+            pltpu.make_async_copy(gbh.at[_ix(t % 2)], inc_ref.at[_ix(0)],
+                                  isem.at[_ix(6 + t % 2)]).wait()
+        if wsb is None:
+            gbh[t % 2], gbl[t % 2] = ih, il
+        else:
+            gbh[t % 2, :, wsb:wsb + Wb] = ih
+            gbl[t % 2, :, wsb:wsb + Wb] = il
+        if emit_inc:
+            @pl.when(k < n_slots)
+            def _():
+                pltpu.make_async_copy(gbh.at[_ix(t % 2)],
+                                      inc_ref.at[_ix(jnp.int32(0) + k)],
+                                      isem.at[_ix(6 + t % 2)]).start()
+
+    if emit_inc:
+        # seed the two emission wait-chains (entries are overwritten by
+        # the real k = 0, 1 copies before anything reads them)
+        pltpu.make_async_copy(gbh.at[_ix(0)], inc_ref.at[_ix(0)],
+                              isem.at[_ix(6)]).start()
+        pltpu.make_async_copy(gbh.at[_ix(1)], inc_ref.at[_ix(1)],
+                              isem.at[_ix(7)]).start()
+
+    def step(q, uh, ul, vm2, vm1, sp, ws=None, W=None, iiw=None):
+        if ws is None:
+            k10h, k10l = sh_ref[vm1], sl_ref[vm1]
+            p2h, p2l = sh_ref[vm2], sl_ref[vm2]
+            ii_loc = ii
+        else:
+            k10h = sh_ref[vm1, :, ws:ws + W]
+            k10l = sl_ref[vm1, :, ws:ws + W]
+            p2h = sh_ref[vm2, :, ws:ws + W]
+            p2l = sl_ref[vm2, :, ws:ws + W]
+            ii_loc = iiw
+        k01h = pltpu.roll(k10h, jnp.int32(1), axis=1)
+        k01l = pltpu.roll(k10l, jnp.int32(1), axis=1)
+        k00h = pltpu.roll(p2h, jnp.int32(1), axis=1)
+        k00l = pltpu.roll(p2l, jnp.int32(1), axis=1)
+        vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
+                            uh, ul, naive)
+        mask = (ii_loc == 0) | (ii_loc == q + 2) | (ii_loc > MM)
+        vh = jnp.where(mask, one, vh)
+        vl = jnp.where(mask, zero, vl)
+        if ws is not None and ws > 0:
+            edge = ii_loc == ws
+            vh = jnp.where(edge, p2h, vh)
+            vl = jnp.where(edge, p2l, vl)
+        if hi_stack:
+            @pl.when(q >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    sh_ref.at[_ix(vm2)],
+                    stk_ref.at[_ix(q - 2 + out_offset)],
+                    isem.at[_ix(4 + sp)]).wait()
+        if ws is None:
+            sh_ref[vm2] = vh
+            sl_ref[vm2] = vl
+        else:
+            sh_ref[vm2, :, ws:ws + W] = vh
+            sl_ref[vm2, :, ws:ws + W] = vl
+        if hi_stack:
+            pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
+                                  stk_ref.at[_ix(q + out_offset)],
+                                  isem.at[_ix(4 + sp)]).start()
+
+    def make_body(ws=None, W=None, iiw=None, guarded=True):
+        def when_q(q):
+            if guarded:
+                return pl.when(q < n_steps)
+            return lambda fn: fn()
+
+        wsb = None if ws is None else ws // f
+        Wb = None if ws is None else W // f
+
+        def ld(slot):
+            h, l = gbh[slot], gbl[slot]
+            if wsb is not None:
+                h = h[:, wsb:wsb + Wb]
+                l = l[:, wsb:wsb + Wb]
+            if f > 1:
+                h = jnp.repeat(h, f, axis=1)
+                l = jnp.repeat(l, f, axis=1)
+            return h, l
+
+        ii_loc = ii if ws is None else iiw
+
+        def body(b, _):
+            for t in range(T):
+                k = b * T + t
+
+                @when_q(k * f)   # whole base slot off the end: skip
+                def _(k=k, t=t):
+                    gen_inc(k, t, wsb, Wb)
+                    curh, curl = ld(t % 2)
+                    if f == 1:
+                        q = k
+                        uh = pltpu.roll(curh, jnp.int32(1), axis=1)
+                        ul = pltpu.roll(curl, jnp.int32(1), axis=1)
+                        sp = t % 2   # == q % 2 only when T preserves
+                        # parity; q % 2 == (b*T + t) % 2 == t % 2 (T even)
+                        step(q, uh, ul, sp, 1 - sp, sp, ws, W, iiw)
+                    else:
+                        prvh, prvl = ld(1 - t % 2)
+                        for s in range(f):
+                            q = k * f + s
+                            sp = s % 2   # == q % 2 (f even)
+
+                            @when_q(q)
+                            def _(q=q, s=s, sp=sp):
+                                sel = lax.rem(ii_loc, jnp.int32(f)) <= s
+                                ph = jnp.where(sel, curh, prvh)
+                                pl_ = jnp.where(sel, curl, prvl)
+                                uh = pltpu.roll(ph, jnp.int32(1), axis=1)
+                                ul = pltpu.roll(pl_, jnp.int32(1), axis=1)
+                                step(q, uh, ul, sp, 1 - sp, sp, ws, W, iiw)
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            iiw = (lax.broadcasted_iota(jnp.int32, (slab[0], W_p), 1)
+                   + jnp.int32(ws_p))
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, iiw, guarded), 0)
+
+    last = (n_steps - 1) % 2
+    if hi_stack:
+        pltpu.make_async_copy(sh_ref.at[_ix(last)],
+                              stk_ref.at[_ix(n_steps - 1 + out_offset)],
+                              isem.at[_ix(4 + last)]).wait()
+        @pl.when(n_steps >= 2)
+        def _():
+            pltpu.make_async_copy(
+                sh_ref.at[_ix(1 - last)],
+                stk_ref.at[_ix(n_steps - 2 + out_offset)],
+                isem.at[_ix(4 + (1 - last))]).wait()
+    if emit_inc:
+        for off in (0, 1):
+            pltpu.make_async_copy(gbh.at[_ix(off)], inc_ref.at[_ix(off)],
+                                  isem.at[_ix(6 + off)]).wait()
+    outh_ref[...] = sh_ref[last]
+    outl_ref[...] = sl_ref[last]
+
+
+# ---------------------------------------------------------------------------
 # XLA wrappers
 # ---------------------------------------------------------------------------
 
@@ -813,6 +1417,215 @@ def solve_final_df_stack(hi: jnp.ndarray, lo: jnp.ndarray,
 
     val, stk = jax.lax.map(one, (hi4, lo4))   # (nc, chunk), (nc, Tp, P, L)
     return val.reshape(Bp)[:B].reshape(batch_shape), stk
+
+
+# ---------------------------------------------------------------------------
+# In-kernel generation wrappers
+# ---------------------------------------------------------------------------
+
+def gen_supported(B: int, M: int, N: int, dyadic_order: int) -> bool:
+    """Geometry gate for the in-kernel RBF generation kernel: TPU backend,
+    pairs-on-sublanes layout, f | LANES, and both paths' point counts
+    within the base lane width ``Lb = ceil(MM+1, LANES) / f`` (the rolling
+    y view and the x row lanes must hold every point)."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return False
+    if platform not in ("tpu", "axon"):
+        return False
+    f = 2 ** dyadic_order
+    if f > 4 or M < 2 or N < 2:
+        return False
+    MM, NN = (M - 1) * f, (N - 1) * f
+    if MM + 1 > MAX_ROWS or max(MM, NN) + 1 > MAX_ROWS:
+        return False
+    L = ceil_to(MM + 1, LANES)
+    Lb = L // f
+    return M <= Lb and N <= Lb
+
+
+def _gen_point_slabs(Xp, Yp, sigma, P: int, Lb: int):
+    """Per-pair paths -> the gen kernel's VMEM point slabs (all tiny).
+
+    Mirrors :mod:`.df_prep`'s forward math op-for-op (DF split at f64,
+    ``_sq_norms`` accumulation order, ``-1/sigma`` via one emulated-f64
+    division) so generated increments match the prep route to DF rounding.
+    """
+    from . import df32, df_prep
+
+    B, M, D = Xp.shape
+    N = Yp.shape[1]
+    x = df32.from_f64(Xp.astype(jnp.float64))
+    y = df32.from_f64(Yp.astype(jnp.float64))
+    sx = df_prep._sq_norms(x)                      # DF (B, M)
+    sy = df_prep._sq_norms(y)
+    rs = df32.from_f64(-1.0 / jnp.asarray(sigma).astype(jnp.float64))
+
+    def pad_x(c):                                  # (B, M[, D]) -> (P, Lb, .)
+        pad = [(0, P - B), (0, Lb - M)] + [(0, 0)] * (c.ndim - 2)
+        return jnp.pad(c, pad)
+
+    def pad_yr(c):                                 # reversed: y[C - t]
+        pad = [(0, P - B), (Lb - N, 0)] + [(0, 0)] * (c.ndim - 2)
+        return jnp.pad(jnp.flip(c, axis=1), pad)
+
+    xh, xl = (jnp.moveaxis(pad_x(c), -1, 0) for c in x)     # (D, P, Lb)
+    yrh, yrl = (jnp.moveaxis(pad_yr(c), -1, 0) for c in y)
+    sxh, sxl = (pad_x(c) for c in sx)                       # (P, Lb)
+    syh, syl = (pad_yr(c) for c in sy)
+    rsh = jnp.broadcast_to(rs[0].astype(jnp.float32), (P, 1))
+    rsl = jnp.broadcast_to(rs[1].astype(jnp.float32), (P, 1))
+    return xh, xl, sxh, sxl, yrh, yrl, syh, syl, rsh, rsl
+
+
+def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
+                            stack_pad=None, emit_inc=False,
+                            window_seg=None):
+    """Final-corner df64 solve with IN-KERNEL RBF increment generation.
+
+    ``Xp``/``Yp``: per-pair paths ``(B, M, D)`` / ``(B, N, D)``. With
+    ``stack_pad`` also returns the hi solution stack (entry q at
+    q + stack_pad) for the fused adjoint; with ``emit_inc`` also the hi
+    increment base-diagonal stack (entry k at k) whose unshear
+    (:func:`gen_inc_unshear`) replaces the backward's prep recompute.
+    """
+    B, M, D = Xp.shape
+    N = Yp.shape[1]
+    f = 2 ** dyadic_order
+    Mb, Nb = M - 1, N - 1
+    MM, NN = Mb * f, Nb * f
+    n_steps = MM + NN - 1
+    n_slots = -(-n_steps // f)
+    row_axis, slab, _ = _layout(B, MM)
+    assert row_axis == 1, "gen kernel is pairs-on-sublanes only"
+    P, L = slab
+    Lb = L // f
+
+    ins = _gen_point_slabs(Xp, Yp, sigma, P, Lb)
+
+    hi_stack = stack_pad is not None
+    if hi_stack:
+        Tp = ceil_to(n_steps + 2, LANES) + stack_pad
+        stk_shape, stk_spec = (Tp,) + slab, pl.BlockSpec(memory_space=pl.ANY)
+    else:
+        stk_shape = (1, 8, LANES)
+        stk_spec = pl.BlockSpec(memory_space=pl.ANY)
+    if emit_inc:
+        Ti = ceil_to(n_slots + 2, 8)
+        inc_shape = (Ti, P, Lb)
+    else:
+        inc_shape = (1, 8, LANES)
+
+    seg = WINDOW_SEG if window_seg is None else window_seg
+    kernel = functools.partial(
+        _wavefront_df_gen_kernel, n_steps=n_steps, MM=MM, NN=NN,
+        Mb=Mb, Nb=Nb, naive=naive, refine=f, hi_stack=hi_stack,
+        out_offset=stack_pad if hi_stack else 0, emit_inc=emit_inc,
+        window_seg=seg, margin_top=max(8, 3 * f + 2))
+    outh, outl, stk, incs = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
+                   jax.ShapeDtypeStruct(slab, jnp.float32),
+                   jax.ShapeDtypeStruct(stk_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(inc_shape, jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM),
+                   stk_spec,
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2,) + slab, jnp.float32),       # sh
+            pltpu.VMEM((2,) + slab, jnp.float32),       # sl
+            pltpu.VMEM((3, P, Lb), jnp.float32),        # gdh
+            pltpu.VMEM((3, P, Lb), jnp.float32),        # gdl
+            pltpu.VMEM((2, P, Lb), jnp.float32),        # gbh
+            pltpu.VMEM((2, P, Lb), jnp.float32),        # gbl
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*ins)
+    h = _extract_final(outh, row_axis, MM, B)
+    l = _extract_final(outl, row_axis, MM, B)
+    val = h.astype(jnp.float64) + l.astype(jnp.float64)
+    outs = (val,)
+    if hi_stack:
+        outs = outs + (stk,)
+    if emit_inc:
+        outs = outs + (incs,)
+    return outs if len(outs) > 1 else val
+
+
+def gen_inc_unshear(incs: jnp.ndarray, B: int, Mb: int, Nb: int):
+    """Hi increment base-diagonal stack ``(Ti, P, Lb)`` (entry k at k) ->
+    ``(B, Mb, Nb)`` f32 grid. Flat-stride inverse shear, tail pad only."""
+    Ti, P, Lb = incs.shape
+    D = jnp.transpose(incs, (1, 2, 0))             # (P, Lb, Ti)
+    flat = jnp.pad(D.reshape(P, Lb * Ti), ((0, 0), (0, Lb)))
+    K = flat.reshape(P, Lb, Ti + 1)[:, :Mb, :Nb]   # K[p, a, b] = D[p,a,a+b]
+    return K[:B]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("naive", "dyadic_order", "stack_pad"))
+def solve_final_df_gen_stack(Xp, Yp, sigma, naive: bool = False,
+                             dyadic_order: int = 0, stack_pad: int = 8):
+    """Chunked in-kernel-generation solve emitting the hi solution stack
+    AND the hi increment stack (the whole prep + stream pipeline of
+    :func:`solve_final_df_stack` disappears; the backward consumes both).
+
+    Returns ``(values (B,), stacks (nc, Tp, P, L), inc_grids (B, Mb, Nb))``.
+    Chunked with the SAME shared chunk as the fused adjoint.
+    """
+    from .pallas_adjoint import shared_chunk
+
+    f = 2 ** dyadic_order
+    B, M, _ = Xp.shape
+    N = Yp.shape[1]
+    Mb, Nb = M - 1, N - 1
+    chunk = shared_chunk(Mb * f, Nb * f)
+
+    def one(args):
+        x, y = args
+        val, stk, incs = _solve_final_one_df_gen(
+            x, y, sigma, naive, dyadic_order, stack_pad=stack_pad,
+            emit_inc=True)
+        return val, stk, gen_inc_unshear(incs, x.shape[0], Mb, Nb)
+
+    if B <= chunk:
+        val, stk, hi = one((Xp, Yp))
+        return val, stk[None], hi
+    Bp = ceil_to(B, chunk)
+    Xq = jnp.pad(Xp, ((0, Bp - B), (0, 0), (0, 0)))
+    # repeat-pad Y's tail with real points? zero paths are fine: the pad
+    # pairs' values are discarded and their stacks solve the boundary
+    Yq = jnp.pad(Yp, ((0, Bp - B), (0, 0), (0, 0)))
+    Xc = Xq.reshape(Bp // chunk, chunk, M, -1)
+    Yc = Yq.reshape(Bp // chunk, chunk, N, -1)
+    val, stk, hi = jax.lax.map(one, (Xc, Yc))
+    return (val.reshape(Bp)[:B],
+            stk,
+            hi.reshape(Bp, Mb, Nb)[:B])
+
+
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final_df_gen(Xp, Yp, sigma, naive: bool = False,
+                       dyadic_order: int = 0):
+    """Forward-only in-kernel-generation solve (no stacks): the fast path
+    for value-only calls and the df-hybrid forward."""
+    from .pallas_adjoint import shared_chunk
+
+    f = 2 ** dyadic_order
+    B, M, _ = Xp.shape
+    N = Yp.shape[1]
+    chunk = shared_chunk((M - 1) * f, (N - 1) * f)
+
+    def one(args):
+        x, y = args
+        return _solve_final_one_df_gen(x, y, sigma, naive, dyadic_order)
+
+    return _chunk_map(one, (Xp, Yp), chunk)
 
 
 @functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))

@@ -338,7 +338,8 @@ def _layout(B: int, MM: int):
 
 
 def _window_phases(n_batches: int, spb: int, n_steps: int, NN: int, L: int,
-                   seg_steps: int = 512):
+                   seg_steps: int = 512, margin_top: int = 8,
+                   align: int = LANES):
     """Static phase plan for lane-windowed wavefront compute.
 
     The active anti-diagonal occupies a contiguous, monotonically sliding
@@ -365,8 +366,8 @@ def _window_phases(n_batches: int, spb: int, n_steps: int, NN: int, L: int,
     while b < n_batches:
         b1 = min(b + seg_b, n_batches)
         s0, s1 = b * spb, b1 * spb
-        ws = max(0, s0 - NN - 8) // LANES * LANES
-        top = min(ceil_to(min(s1 + 8, L), LANES), L)
+        ws = max(0, s0 - NN - 8) // align * align
+        top = min(ceil_to(min(s1 + margin_top, L), align), L)
         W = top - ws
         if phases and phases[-1][2:] == (ws, W):
             phases[-1] = (phases[-1][0], b1, ws, W)
@@ -623,6 +624,34 @@ def _stretch_stream(base3: jnp.ndarray, f: int, dma_batch: int,
         return jnp.repeat(R, f, axis=1)[:, :L, :]
     R = jnp.transpose(Sb, (2, 0, 1))         # (W, P, R_rows)
     return jnp.repeat(R, f, axis=2)[:, :, :L]
+
+
+def _base_stream(base3: jnp.ndarray, dma_batch: int, P_dim: int, Lb: int,
+                 f: int = 2):
+    """Base-diagonal stream for the PLANE-SPLIT kernels (pairs-on-sublanes).
+
+    ``base3``: (B, Mb, Nb) base increments, already scaled. Returns a
+    ``(W, P, Lb)`` stream whose entry ``k`` (offset 0) holds base
+    anti-diagonal ``k`` at base row lanes: ``d_k[a] = base[a, k - a]``
+    (zero out of range) -- the un-stretched version of
+    :func:`_stretch_stream` (the plane kernels never dilate; Mosaic cannot
+    lower any lane-dilation shuffle, see scripts/dilate_probe.py). Uses
+    the aligned pairs-minor construction when the pair minor is wide
+    enough, else the base flat-stride shear (base-sized data either way).
+    """
+    B, Mb, Nb = base3.shape
+    if _use_aligned(B, (P_dim, f * Lb), 1):
+        # the builder's f only sets its base row count R_rows = lanes / f
+        (sk,) = _aligned_streams_ps([base3], f, dma_batch, (P_dim, f * Lb),
+                                    stretch=False)
+        return sk
+    V = Mb + Nb
+    W0 = ceil_to(max(V + dma_batch + 1, Nb + Lb + 1), LANES)
+    W = W0 - 1
+    x0 = jnp.pad(base3, ((0, P_dim - B), (0, Lb - Mb), (0, W0 - Nb)))
+    flat = x0.reshape(P_dim, Lb * W0)[:, : Lb * W]
+    Sb = flat.reshape(P_dim, Lb, W)      # Sb[p, a, t] = base[p, a, t - a]
+    return jnp.transpose(Sb, (2, 0, 1))  # (W, P, Lb)
 
 
 def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int,
