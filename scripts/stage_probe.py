@@ -20,6 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: remote compiles at benchmark shapes take tens
+# of minutes; share them across probe scripts and bench.py
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from sigkernel_tpu.ops import df_prep, pallas_df64, pallas_adjoint
 from sigkernel_tpu.ops.pallas_df64 import (_pad_skew_components,

@@ -449,6 +449,335 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                           isem.at[_ix(5)]).wait()
 
 
+def _product_collapse_planes_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm,
+                                    state, ibuf, fbuf, acc, obuf, isem,
+                                    carry, *, n_steps, MM, NN, Lbf, naive,
+                                    pad_f, refine, window_seg=0):
+    """Plane-split transposed-reverse sweep + in-flight product + dyadic
+    collapse (see ``pallas_df64._wavefront_df_planes_kernel`` for the
+    plane representation; Mosaic has no lane-dilation, so everything runs
+    at base lane width).
+
+    Deltas vs :func:`_product_collapse_kernel`:
+    - rinc_hbm: BASE-width reverse stream ``(W, P, Lbr)`` (entry k_r =
+      base diag of flip2(inc)^T, offset 0, pre-scaled 1/f^2) -- f x less
+      stream HBM, no stretch pass;
+    - fstk_hbm: plane-layout forward stack ``(Tp, f, P, Lbf)``;
+    - the product alignment roll decomposes as plane re-indexing (STATIC
+      per in-batch position: ``sigma mod f`` depends only on ``q_r mod
+      f``) plus one base-width dynamic roll per plane;
+    - the f-block lane collapse is free: refined product lane ``f*a + p``
+      contributes to base lane ``a``, so summing the statically-chosen
+      planes into the two base-width accumulators IS the collapse -- the
+      cotangent stack leaves the kernel at base width (f x less cotangent
+      HBM, no XLA block-sum pass).
+    """
+    P = state.shape[2]
+    Lbr = state.shape[3]
+    f = refine
+    TBf = TB * f
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, TB)
+    iib = lax.broadcasted_iota(jnp.int32, (P, Lbr), 1)
+    one = jnp.float32(1.0)
+    zslab = jnp.zeros((P, Lbf), jnp.float32)
+    L_r = f * Lbr
+
+    from .pallas_solver import _window_phases
+    spb = TB * f
+    phases = None
+    if window_seg:
+        phases = _window_phases(n_batches, spb, n_steps, MM, L_r,
+                                window_seg, align=f * LANES)
+    A = (n_steps - 3) // f
+    r0 = (n_steps - 3) % f
+
+    for p in range(f):
+        state[0, p] = jnp.ones((P, Lbr), jnp.float32)
+        state[1, p] = jnp.ones((P, Lbr), jnp.float32)
+    acc[0] = zslab
+    acc[1] = zslab
+    gv = g_ref[...]
+
+    def flush(slot, k_entry):
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).wait()
+        obuf[slot] = acc[slot]
+        acc[slot] = zslab
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).start()
+
+    def accumulate_planes(prods, q_mod_f, k_par):
+        """prods[p] joins base diag k (acc[k_par]) when p <= q_mod_f,
+        else k-1 -- the plane index IS the refined residue (static)."""
+        hi_sum = lo_sum = None
+        for p in range(f):
+            if p <= q_mod_f:
+                hi_sum = prods[p] if hi_sum is None else hi_sum + prods[p]
+            else:
+                lo_sum = prods[p] if lo_sum is None else lo_sum + prods[p]
+        if hi_sum is not None:
+            acc[k_par] = acc[k_par] + hi_sum
+        if lo_sum is not None:
+            acc[1 - k_par] = acc[1 - k_par] + lo_sum
+
+    # seed the per-slot flush-wait chains (entries V+2, V+3 never read)
+    V = n_slots + 1
+    obuf[0] = zslab
+    obuf[1] = zslab
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(V + 2)],
+                          isem.at[_ix(4)]).start()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(V + 3)],
+                          isem.at[_ix(5)]).start()
+
+    # pre-loop: cotangent diagonals q1 = T-1, q2 = T-2 have A2 = 1
+    pre1 = pltpu.make_async_copy(fstk_hbm.at[_ix(n_steps - 3 + pad_f)],
+                                 fbuf.at[_ix(0), _ix(0)], isem.at[_ix(2)])
+    pre2 = pltpu.make_async_copy(fstk_hbm.at[_ix(n_steps - 4 + pad_f)],
+                                 fbuf.at[_ix(0), _ix(1)], isem.at[_ix(3)])
+    pre1.start()
+    pre2.start()
+    pre1.wait()
+    pre2.wait()
+    q1, q2 = n_steps - 1, n_steps - 2
+    k1, k2 = q1 // f, q2 // f
+    accumulate_planes([fbuf[0, 0, p] * gv for p in range(f)],
+                      q1 % f, k1 % 2)
+    if q1 % f == 0:
+        flush(k1 % 2, jnp.int32(k1))
+    accumulate_planes([fbuf[0, 1, p] * gv for p in range(f)],
+                      q2 % f, k2 % 2)
+    # q2 % f == f-1 always (T-2 = f*V - 3): never a flush position
+
+    def in_copies(b, slot):
+        E_b = n_steps - 4 - (b + 1) * TBf + pad_f
+        return (
+            pltpu.make_async_copy(rinc_hbm.at[pl.ds(_ix(b * TB), TB)],
+                                  ibuf.at[_ix(slot)], isem.at[_ix(slot)]),
+            pltpu.make_async_copy(fstk_hbm.at[pl.ds(_ix(E_b), TBf)],
+                                  fbuf.at[_ix(slot)],
+                                  isem.at[_ix(2 + slot)]),
+        )
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def make_body(ws=None, W=None, guarded=True):
+        wsb = None if ws is None else ws // f
+        Wb = None if ws is None else W // f
+        iibw = None if ws is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
+
+        def when_q(q_r):
+            if guarded:
+                return pl.when(q_r < n_steps)
+            return lambda fn: fn()
+
+        def sl_in(x):
+            return x if wsb is None else x[:, wsb:wsb + Wb]
+
+        iiw = iib if wsb is None else iibw
+
+        def step(q_r, k_r, s_i, sp, t, cur, prev, fb_idx, bslot):
+            vm2, vm1 = sp, 1 - sp
+
+            def st(slot, p):
+                if wsb is None:
+                    return state[slot, p]
+                return state[slot, p, :, wsb:wsb + Wb]
+
+            k10 = [st(vm1, p) for p in range(f)]
+            p2 = [st(vm2, p) for p in range(f)]
+            roll1 = lambda x: pltpu.roll(x, jnp.int32(1), axis=1)
+            k01 = [roll1(k10[f - 1])] + k10[:f - 1]
+            k00 = [roll1(p2[f - 1])] + p2[:f - 1]
+            u = [roll1(cur if s_i == f - 1 else prev)] + \
+                [(cur if p <= s_i else prev) for p in range(f - 1)]
+
+            p_star = (s_i + 2) % f
+            off = (s_i + 2 - p_star) // f
+            hit_lane = jnp.int32(0) + k_r + off
+
+            vs = []
+            for p in range(f):
+                v = _scheme(k00[p], k01[p], k10[p], u[p], naive)
+                mask = iiw > (NN - p) // f
+                if p == p_star:
+                    mask = mask | (iiw == hit_lane)
+                if p == 0:
+                    mask = mask | (iiw == 0)
+                v = jnp.where(mask, one, v)
+                if wsb is not None and wsb > 0 and p == 0:
+                    v = jnp.where(iiw == wsb, p2[0], v)
+                vs.append(v)
+            for p in range(f):
+                if wsb is None:
+                    state[vm2, p] = vs[p]
+                else:
+                    state[vm2, p, :, wsb:wsb + Wb] = vs[p]
+
+            q = n_steps - 3 - q_r
+
+            @pl.when(q >= 0)
+            def _():
+                # refined alignment shift sigma = (MM - 3 - q_r) mod L_r
+                # decomposes as sigma = f*sq + sr with sr static (f | MM,
+                # q_r = k_r f + s_i): product plane p reads reverse plane
+                # (p - sr) mod f rolled by sq (+1 when p < sr)
+                sr = (-3 - s_i) % f
+                d = jnp.int32(MM - 3) - jnp.int32(0) - q_r
+                sig = lax.rem(d + jnp.int32(2 * L_r), jnp.int32(L_r))
+                sq = lax.div(sig, jnp.int32(f))
+                prods = []
+                for p in range(f):
+                    src = (p - sr) % f
+                    sh = sq + (1 if p < sr else 0)
+                    # full-width state plane: frozen rows hold finals
+                    A2 = pltpu.roll(state[vm2, src], sh, axis=1)[:, :Lbf]
+                    F = fbuf[bslot, fb_idx, p]
+                    F = jnp.where(q >= 2, F, one)
+                    prods.append(F * A2 * gv)
+                c = 1 if s_i > r0 else 0
+                k_par = (A + t + c) % 2
+                accumulate_planes(prods, (r0 - s_i) % f, k_par)
+                if s_i == r0:
+                    k_dyn = _ix(A) - lax.div(_ix(q_r), jnp.int32(f))
+                    flush(k_par, k_dyn)
+
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
+
+            @pl.when(b + 1 < n_batches)
+            def _():
+                for c in in_copies(b + 1, 1 - bslot):
+                    c.start()
+
+            for c in in_copies(b, bslot):
+                c.wait()
+
+            for t in range(TB):
+                k_r = b * TB + t
+                for s_i in range(f):
+                    q_r = k_r * f + s_i
+                    sp = s_i % 2   # == q_r % 2 (f even)
+
+                    @when_q(q_r)
+                    def _(q_r=q_r, k_r=k_r, t=t, s_i=s_i, sp=sp):
+                        cur = sl_in(ibuf[bslot, t])
+                        prev = (sl_in(carry[0]) if t == 0
+                                else sl_in(ibuf[bslot, t - 1]))
+                        step(q_r, k_r, s_i, sp, t, cur, prev,
+                             TBf - 1 - (t * f + s_i), bslot)
+            carry[0] = ibuf[bslot, TB - 1]
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, guarded), 0)
+
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(2)],
+                          isem.at[_ix(4)]).wait()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(3)],
+                          isem.at[_ix(5)]).wait()
+
+
+def planes_adj_ok(B: int, Mb: int, Nb: int, dyadic_order: int) -> bool:
+    """Gate for the plane-split stack-sharing fwd+bwd route."""
+    from .pallas_df64 import planes_ok
+
+    f = 2 ** dyadic_order
+    NN = Nb * f
+    return (planes_ok(B, Mb, Nb, dyadic_order)
+            and NN + 1 <= MAX_ROWS
+            # forward plane lanes must fit within the reverse state's
+            and ceil_to(Mb + 1, LANES) <= ceil_to(Nb + 1, LANES)
+            and (Mb + Nb) * f - 1 >= 4)
+
+
+def adjoint_planes_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
+                             dyadic_order: int, fwd_stack) -> jnp.ndarray:
+    """Base-resolution increment cotangent from a PLANE-LAYOUT forward
+    stack (``pallas_df64._solve_final_one_df_pl(stack_pad=...)``); the
+    collapse is free and the cotangent stack leaves the kernel at base
+    width. Caller must have checked :func:`planes_adj_ok`."""
+    f = 2 ** dyadic_order
+    inc32 = inc3.astype(jnp.float32)
+    B0, Mb, Nb = inc32.shape
+    MM, NN = Mb * f, Nb * f
+    T = MM + NN - 1
+    pad_f = _pad_f(f)
+    chunk = shared_chunk(MM, NN)
+
+    def one_core(inc_c, g_c, S_f):
+        from .pallas_solver import _base_stream, WINDOW_SEG
+
+        B = inc_c.shape[0]
+        P = ceil_to(B, SUBLANES)
+        Lbf = ceil_to(Mb + 1, LANES)
+        Lbr = ceil_to(Nb + 1, LANES)
+        assert S_f.shape[1:] == (f, P, Lbf), (S_f.shape, (f, P, Lbf))
+
+        rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
+        rb = rbase.astype(jnp.float32) * jnp.float32(1.0 / (f * f))
+        rsk = _base_stream(rb, TB, P, Lbr, f)
+
+        gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
+
+        V = -(-T // f) + 1
+        Tp_out = ceil_to(V + 4, LANES)
+        kernel = functools.partial(
+            _product_collapse_planes_kernel, n_steps=T, MM=MM, NN=NN,
+            Lbf=Lbf, naive=naive, pad_f=pad_f, refine=f,
+            window_seg=WINDOW_SEG)
+        cot_b = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Tp_out, P, Lbf), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pl.ANY),
+                      pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, f, P, Lbr), jnp.float32),      # state
+                pltpu.VMEM((2, TB, P, Lbr), jnp.float32),     # ibuf
+                pltpu.VMEM((2, TB * f, f, P, Lbf), jnp.float32),  # fbuf
+                pltpu.VMEM((2, P, Lbf), jnp.float32),         # acc
+                pltpu.VMEM((2, P, Lbf), jnp.float32),         # obuf
+                pltpu.SemaphoreType.DMA((6,)),
+                pltpu.VMEM((1, P, Lbr), jnp.float32),         # carry
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(rsk, S_f, gp)
+
+        # base unshear (entry kb at kb + 2), exact 1/f^2 scale; products
+        # are already at base lanes -- no block-sum pass
+        Ds = cot_b[:, :, :Mb]
+        DT = jnp.transpose(Ds, (1, 2, 0))                  # (P, Mb, Tp_out)
+        flat = jnp.pad(DT.reshape(P, Mb * Tp_out), ((0, 0), (0, Mb)))
+        K = flat.reshape(P, Mb, Tp_out + 1)[:, :, 2: 2 + Nb]
+        return K[:B] * jnp.float32(1.0 / (f * f))
+
+    g32 = g.astype(jnp.float32)
+    if B0 <= chunk:
+        return one_core(inc32, g32, fwd_stack[0])
+    Bp = ceil_to(B0, chunk)
+    nc = Bp // chunk
+    assert fwd_stack.shape[0] == nc, (fwd_stack.shape, nc)
+    inc4 = jnp.pad(inc32, ((0, Bp - B0), (0, 0), (0, 0))).reshape(
+        nc, chunk, Mb, Nb)
+    g4 = jnp.pad(g32, (0, Bp - B0)).reshape(nc, chunk)
+    out = jax.lax.map(lambda a: one_core(a[0], a[1], a[2]),
+                      (inc4, g4, fwd_stack))
+    return out.reshape(Bp, Mb, Nb)[:B0]
+
+
 def ckpt_pairs(T: int, f: int) -> int:
     """Checkpoint pairs in the sparse forward stack for a T-step sweep.
 

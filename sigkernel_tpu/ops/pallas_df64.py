@@ -786,8 +786,10 @@ def _solve_final_one_df_pl(hi3, lo3, naive, dyadic_order,
     n_steps = MM + NN - 1
     row_axis, slab, _ = _layout(B, MM)
     assert row_axis == 1, "plane-split kernel is pairs-on-sublanes only"
-    P, L = slab
-    Lb = L // f
+    P = slab[0]
+    # base plane lanes: cover base rows 0..Mb, 128-aligned independently of
+    # the refined width (window slices stay lane-aligned for every f)
+    Lb = ceil_to(Mb + 1, LANES)
     s = jnp.float32(1.0 / (f * f))
     skh = _base_stream(hi3.astype(jnp.float32) * s, DMA_BATCH, P, Lb, f)
     skl = _base_stream(lo3.astype(jnp.float32) * s, DMA_BATCH, P, Lb, f)
@@ -832,6 +834,69 @@ def _solve_final_one_df_pl(hi3, lo3, naive, dyadic_order,
     l = outl[MM % f, :B, MM // f]
     val = h.astype(jnp.float64) + l.astype(jnp.float64)
     return (val, stk) if hi_stack else val
+
+
+@functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
+def solve_final_df_pl(hi: jnp.ndarray, lo: jnp.ndarray, naive: bool = False,
+                      dyadic_order: int = 0) -> jnp.ndarray:
+    """Plane-split value-only df64 solve (bit-equal to
+    :func:`solve_final_df`, base-width streams). Caller gates on
+    :func:`planes_ok`."""
+    import math
+
+    from .pallas_solver import _chunk_map, pair_chunk
+
+    f = 2 ** dyadic_order
+    batch_shape = hi.shape[:-2]
+    Mb, Nb = hi.shape[-2], hi.shape[-1]
+    MM, NN = Mb * f, Nb * f
+    B = math.prod(batch_shape)
+    hi3 = hi.reshape((B,) + hi.shape[-2:])
+    lo3 = lo.reshape((B,) + lo.shape[-2:])
+    chunk = min(pair_chunk(MM, NN, planes=2), 128)
+    out = _chunk_map(
+        lambda c: _solve_final_one_df_pl(c[0], c[1], naive, dyadic_order),
+        (hi3, lo3), chunk)
+    return out.reshape(batch_shape)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("naive", "dyadic_order", "stack_pad"))
+def solve_final_df_stack_pl(hi: jnp.ndarray, lo: jnp.ndarray,
+                            naive: bool = False, dyadic_order: int = 0,
+                            stack_pad: int = 8):
+    """Plane-split analogue of :func:`solve_final_df_stack`: the emitted
+    hi stack is in PLANE layout ``(nc, Tp, f, P, Lb)`` for
+    :func:`..pallas_adjoint.adjoint_planes_collapsed`. Same shared-chunk
+    contract; caller gates on ``pallas_adjoint.planes_adj_ok``."""
+    import math
+
+    from .pallas_adjoint import shared_chunk
+
+    f = 2 ** dyadic_order
+    batch_shape = hi.shape[:-2]
+    Mb, Nb = hi.shape[-2], hi.shape[-1]
+    B = math.prod(batch_shape)
+    hi3 = hi.reshape((B,) + hi.shape[-2:])
+    lo3 = lo.reshape((B,) + lo.shape[-2:])
+    chunk = shared_chunk(Mb * f, Nb * f)
+    if B <= chunk:
+        val, stk = _solve_final_one_df_pl(hi3, lo3, naive, dyadic_order,
+                                          stack_pad=stack_pad)
+        return val.reshape(batch_shape), stk[None]
+    Bp = ceil_to(B, chunk)
+    hi4 = jnp.pad(hi3, ((0, Bp - B), (0, 0), (0, 0)))
+    lo4 = jnp.pad(lo3, ((0, Bp - B), (0, 0), (0, 0)))
+    hi4 = hi4.reshape(Bp // chunk, chunk, Mb, Nb)
+    lo4 = lo4.reshape(Bp // chunk, chunk, Mb, Nb)
+
+    def one(args):
+        h, l = args
+        return _solve_final_one_df_pl(h, l, naive, dyadic_order,
+                                      stack_pad=stack_pad)
+
+    val, stk = jax.lax.map(one, (hi4, lo4))
+    return val.reshape(Bp)[:B].reshape(batch_shape), stk
 
 
 # ---------------------------------------------------------------------------

@@ -285,6 +285,13 @@ def _df_supported(hi, dyadic_order):
 def _solve_df_final(dd_df, naive, dyadic_order):
     hi, lo = dd_df
     if _df_supported(hi, dyadic_order):
+        import math
+
+        B = math.prod(hi.shape[:-2])
+        if PLANES and pallas_df64.planes_ok(min(B, 128), hi.shape[-2],
+                                            hi.shape[-1], dyadic_order):
+            return pallas_df64.solve_final_df_pl(hi, lo, naive=naive,
+                                                 dyadic_order=dyadic_order)
         return pallas_df64.solve_final_df(hi, lo, naive=naive,
                                           dyadic_order=dyadic_order)
     f = 2 ** dyadic_order
@@ -313,6 +320,32 @@ def _df_stack_gate(hi, dyadic_order: int) -> bool:
     B, Mb, Nb = hi.shape
     return (_df_supported(hi, dyadic_order)
             and pallas_adjoint.stack_shareable(B, Mb, Nb, dyadic_order))
+
+
+# Plane-split kernels (refined lanes as f base-width planes): base-width
+# streams with no dilation, f x less roll work, free in-kernel collapse.
+# SIG_PLANES=0 falls back to the stretched-width kernels.
+import os as _os
+PLANES = bool(int(_os.environ.get("SIG_PLANES", "1")))
+
+
+def _df_planes_gate(hi, dyadic_order: int) -> bool:
+    """Take the plane-split stack-sharing fwd+bwd route? Requires the
+    plane geometry on both orientations and the full-stack residual
+    budget (multi-chunk beyond it falls to the sparse-ckpt route).
+    Static decision, recomputed identically in fwd and bwd."""
+    import math
+
+    from . import pallas_adjoint
+
+    if not PLANES:
+        return False
+    B, Mb, Nb = hi.shape
+    f = 2 ** dyadic_order
+    return (_df_supported(hi, dyadic_order)
+            and pallas_adjoint.planes_adj_ok(min(B, 128), Mb, Nb,
+                                             dyadic_order)
+            and _full_stack_bytes(B, Mb, Nb, f) <= CKPT_STACK_BYTES)
 
 
 # Full forward stacks beyond this many bytes switch to the sparse
@@ -351,6 +384,13 @@ def _df_ckpt_gate(hi, dyadic_order: int) -> bool:
 
 def _solve_df_fwd(dd_df, naive, dyadic_order):
     hi, lo = dd_df
+    if _df_planes_gate(hi, dyadic_order):
+        from . import pallas_adjoint
+
+        val, stk = pallas_df64.solve_final_df_stack_pl(
+            hi, lo, naive=naive, dyadic_order=dyadic_order,
+            stack_pad=pallas_adjoint._pad_f(2 ** dyadic_order))
+        return val, (dd_df, stk)
     if _df_ckpt_gate(hi, dyadic_order):
         val, stk = pallas_df64.solve_final_df_ckpt(
             hi, lo, naive=naive, dyadic_order=dyadic_order)
@@ -373,7 +413,12 @@ def _solve_df_bwd(naive, dyadic_order, res, g):
     f = 2 ** dyadic_order
     probe = jax.ShapeDtypeStruct(
         hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
-    if _df_ckpt_gate(hi, dyadic_order):
+    if _df_planes_gate(hi, dyadic_order):
+        ct = pallas_adjoint.adjoint_planes_collapsed(
+            hi.reshape((-1,) + hi.shape[-2:]), g.reshape(-1), naive=naive,
+            dyadic_order=dyadic_order, fwd_stack=stk
+        ).reshape(hi.shape)
+    elif _df_ckpt_gate(hi, dyadic_order):
         ct = pallas_adjoint.adjoint_ckpt_collapsed(
             hi, g, naive=naive, dyadic_order=dyadic_order, ckpt_stack=stk)
     elif _df_supported(hi, dyadic_order):

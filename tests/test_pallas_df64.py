@@ -265,3 +265,43 @@ def test_df64_base_lane_streams_bitexact(rng, dyadic):
     finally:
         ps.BASE_LANES = old
         pallas_df64.BASE_LANES = old
+
+
+@pytest.mark.parametrize("naive", [True, False])
+@pytest.mark.parametrize("shape,dyadic", [((3, 7, 7), 1), ((5, 9, 6), 1),
+                                          ((2, 6, 11), 2), ((8, 13, 13), 2)])
+def test_df64_planes_bitexact(rng, naive, shape, dyadic):
+    """Plane-split kernel (refined lanes as f base-width planes): same f32
+    ops on the same operands, so values must be BIT-equal to the stretched
+    kernel -- plain, windowed, and stack modes."""
+    from sigkernel_tpu.ops.pallas_adjoint import _pad_f
+
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1)
+    hi, lo = pallas_df64._split_hi_lo(inc)
+    f = 2 ** dyadic
+    ref = np.asarray(pallas_df64._solve_final_one_df(hi, lo, naive, dyadic))
+    got = np.asarray(pallas_df64._solve_final_one_df_pl(hi, lo, naive,
+                                                        dyadic))
+    np.testing.assert_array_equal(got, ref)
+    win = np.asarray(pallas_df64._solve_final_one_df_pl(hi, lo, naive,
+                                                        dyadic,
+                                                        window_seg=8))
+    np.testing.assert_array_equal(win, ref)
+    # stack mode: plane layout (Tp, f, P, Lb) must re-interleave to the
+    # stretched stack over the written entries
+    pad = _pad_f(f)
+    n_steps = (shape[1] + shape[2]) * f - 1   # (Mb + Nb) * f - 1
+    v_ref, stk_ref = pallas_df64._solve_final_one_df(hi, lo, naive, dyadic,
+                                                     stack_pad=pad)
+    v_pl, stk_pl = pallas_df64._solve_final_one_df_pl(hi, lo, naive, dyadic,
+                                                      stack_pad=pad)
+    np.testing.assert_array_equal(np.asarray(v_pl), np.asarray(v_ref))
+    Tp, ff, P, Lb = stk_pl.shape
+    re = np.moveaxis(np.asarray(stk_pl), 1, -1).reshape(Tp, P, Lb * ff)
+    # planes may cover MORE refined lanes than the stretched slab (Lb is
+    # 128-aligned independently); compare the common valid extent
+    Lc = min(Lb * ff, stk_ref.shape[-1])
+    a = re[pad:pad + n_steps, :, :Lc]
+    b = np.asarray(stk_ref)[pad:pad + n_steps, :, :Lc]
+    np.testing.assert_array_equal(np.nan_to_num(a, nan=3e33),
+                                  np.nan_to_num(b, nan=3e33))
