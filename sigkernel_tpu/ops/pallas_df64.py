@@ -948,23 +948,26 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
     hi increment base-diagonal stack (``emit_inc``, entry k at k; the
     backward unshears it instead of re-running the prep).
 
-    Lane windows: the refined compute uses the standard phase plan; the
-    generation runs on the same window divided by ``f`` (margin_top must
-    be >= 3f + 2 so G diagonal ``k + 2`` plus its ``a + 1`` shift fit).
-    Register rolls are full-width (O(slab) per step, negligible);
-    arithmetic is windowed.
+    Lane windows: one phase plan drives both halves -- the generation and
+    the refined compute run on the refined window divided by ``f``
+    (align = f*LANES keeps base slices 128-aligned; margin_top >= 3f + 2
+    so G diagonal ``k + 2`` plus its ``a + 1`` shift fit). Register rolls
+    are full-width (O(slab) per step, negligible); arithmetic is windowed.
+
+    The refined state uses the PLANE representation of
+    :func:`_wavefront_df_planes_kernel` (Mosaic cannot dilate lanes), so
+    the generated base diagonals feed the refined step directly -- no
+    shuffle between the two halves.
     """
     T = T_GEN
     f = refine
     D = xh_ref.shape[0]
-    slab = sh_ref.shape[1:]
-    P = slab[0]
+    P = sh_ref.shape[2]
     Lb = xh_ref.shape[2]
     C = Lb - 1
     n_slots = pl.cdiv(n_steps, f)
     n_batches = pl.cdiv(n_slots, T)
     spb = T * f
-    ii = lax.broadcasted_iota(jnp.int32, slab, 1)
     iib = lax.broadcasted_iota(jnp.int32, (P, Lb), 1)
     one = jnp.float32(1.0)
     zero = jnp.float32(0.0)
@@ -972,13 +975,15 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
 
     phases = None
     if window_seg:
-        phases = _window_phases(n_batches, spb, n_steps, NN, slab[1],
-                                window_seg, margin_top=margin_top)
+        phases = _window_phases(n_batches, spb, n_steps, NN, f * Lb,
+                                window_seg, margin_top=margin_top,
+                                align=f * LANES)
 
-    sh_ref[0] = jnp.ones(slab, jnp.float32)
-    sh_ref[1] = jnp.ones(slab, jnp.float32)
-    sl_ref[0] = jnp.zeros(slab, jnp.float32)
-    sl_ref[1] = jnp.zeros(slab, jnp.float32)
+    for p in range(f):
+        sh_ref[0, p] = jnp.ones((P, Lb), jnp.float32)
+        sh_ref[1, p] = jnp.ones((P, Lb), jnp.float32)
+        sl_ref[0, p] = jnp.zeros((P, Lb), jnp.float32)
+        sl_ref[1, p] = jnp.zeros((P, Lb), jnp.float32)
     gbh[1] = jnp.zeros((P, Lb), jnp.float32)   # inc diag -1 == exact zeros
     gbl[1] = jnp.zeros((P, Lb), jnp.float32)
 
@@ -1085,30 +1090,52 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
         pltpu.make_async_copy(gbh.at[_ix(1)], inc_ref.at[_ix(1)],
                               isem.at[_ix(7)]).start()
 
-    def step(q, uh, ul, vm2, vm1, sp, ws=None, W=None, iiw=None):
-        if ws is None:
-            k10h, k10l = sh_ref[vm1], sl_ref[vm1]
-            p2h, p2l = sh_ref[vm2], sl_ref[vm2]
-            ii_loc = ii
-        else:
-            k10h = sh_ref[vm1, :, ws:ws + W]
-            k10l = sl_ref[vm1, :, ws:ws + W]
-            p2h = sh_ref[vm2, :, ws:ws + W]
-            p2l = sl_ref[vm2, :, ws:ws + W]
-            ii_loc = iiw
-        k01h = pltpu.roll(k10h, jnp.int32(1), axis=1)
-        k01l = pltpu.roll(k10l, jnp.int32(1), axis=1)
-        k00h = pltpu.roll(p2h, jnp.int32(1), axis=1)
-        k00l = pltpu.roll(p2l, jnp.int32(1), axis=1)
-        vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
-                            uh, ul, naive)
-        mask = (ii_loc == 0) | (ii_loc == q + 2) | (ii_loc > MM)
-        vh = jnp.where(mask, one, vh)
-        vl = jnp.where(mask, zero, vl)
-        if ws is not None and ws > 0:
-            edge = ii_loc == ws
-            vh = jnp.where(edge, p2h, vh)
-            vl = jnp.where(edge, p2l, vl)
+    def step(q, k, s, sp, cur, prev, wsb=None, Wb=None, iibw=None):
+        """One refined step in PLANE representation (see
+        :func:`_wavefront_df_planes_kernel`); cur/prev are the generated
+        base increment (hi, lo) slabs for diagonals k, k-1 (sliced)."""
+        vm2, vm1 = sp, 1 - sp
+        iiw = iib if wsb is None else iibw
+
+        def st(ref, slot, p):
+            if wsb is None:
+                return ref[slot, p]
+            return ref[slot, p, :, wsb:wsb + Wb]
+
+        k10 = [(st(sh_ref, vm1, p), st(sl_ref, vm1, p)) for p in range(f)]
+        p2 = [(st(sh_ref, vm2, p), st(sl_ref, vm2, p)) for p in range(f)]
+
+        def rolled(pair):
+            return (pltpu.roll(pair[0], jnp.int32(1), axis=1),
+                    pltpu.roll(pair[1], jnp.int32(1), axis=1))
+
+        k01 = [rolled(k10[f - 1])] + k10[:f - 1]
+        k00 = [rolled(p2[f - 1])] + p2[:f - 1]
+        u = [rolled(cur if s == f - 1 else prev)] + \
+            [(cur if p <= s else prev) for p in range(f - 1)]
+
+        p_star = (s + 2) % f
+        off = (s + 2 - p_star) // f
+        hit_lane = jnp.int32(0) + k + off
+
+        vs = []
+        for p in range(f):
+            vh, vl = _df_scheme(k00[p][0], k00[p][1], k01[p][0], k01[p][1],
+                                k10[p][0], k10[p][1], u[p][0], u[p][1],
+                                naive)
+            mask = iiw > (MM - p) // f
+            if p == p_star:
+                mask = mask | (iiw == hit_lane)
+            if p == 0:
+                mask = mask | (iiw == 0)
+            vh = jnp.where(mask, one, vh)
+            vl = jnp.where(mask, zero, vl)
+            if wsb is not None and wsb > 0 and p == 0:
+                edge = iiw == wsb
+                vh = jnp.where(edge, p2[0][0], vh)
+                vl = jnp.where(edge, p2[0][1], vl)
+            vs.append((vh, vl))
+
         if hi_stack:
             @pl.when(q >= 2)
             def _():
@@ -1116,18 +1143,19 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
                     sh_ref.at[_ix(vm2)],
                     stk_ref.at[_ix(q - 2 + out_offset)],
                     isem.at[_ix(4 + sp)]).wait()
-        if ws is None:
-            sh_ref[vm2] = vh
-            sl_ref[vm2] = vl
-        else:
-            sh_ref[vm2, :, ws:ws + W] = vh
-            sl_ref[vm2, :, ws:ws + W] = vl
+        for p in range(f):
+            if wsb is None:
+                sh_ref[vm2, p] = vs[p][0]
+                sl_ref[vm2, p] = vs[p][1]
+            else:
+                sh_ref[vm2, p, :, wsb:wsb + Wb] = vs[p][0]
+                sl_ref[vm2, p, :, wsb:wsb + Wb] = vs[p][1]
         if hi_stack:
             pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
                                   stk_ref.at[_ix(q + out_offset)],
                                   isem.at[_ix(4 + sp)]).start()
 
-    def make_body(ws=None, W=None, iiw=None, guarded=True):
+    def make_body(ws=None, W=None, guarded=True):
         def when_q(q):
             if guarded:
                 return pl.when(q < n_steps)
@@ -1135,18 +1163,14 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
 
         wsb = None if ws is None else ws // f
         Wb = None if ws is None else W // f
+        iibw = None if ws is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
 
         def ld(slot):
-            h, l = gbh[slot], gbl[slot]
-            if wsb is not None:
-                h = h[:, wsb:wsb + Wb]
-                l = l[:, wsb:wsb + Wb]
-            if f > 1:
-                h = jnp.repeat(h, f, axis=1)
-                l = jnp.repeat(l, f, axis=1)
-            return h, l
-
-        ii_loc = ii if ws is None else iiw
+            if wsb is None:
+                return gbh[slot], gbl[slot]
+            return (gbh[slot, :, wsb:wsb + Wb],
+                    gbl[slot, :, wsb:wsb + Wb])
 
         def body(b, _):
             for t in range(T):
@@ -1155,28 +1179,17 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
                 @when_q(k * f)   # whole base slot off the end: skip
                 def _(k=k, t=t):
                     gen_inc(k, t, wsb, Wb)
-                    curh, curl = ld(t % 2)
-                    if f == 1:
-                        q = k
-                        uh = pltpu.roll(curh, jnp.int32(1), axis=1)
-                        ul = pltpu.roll(curl, jnp.int32(1), axis=1)
-                        sp = t % 2   # == q % 2 only when T preserves
-                        # parity; q % 2 == (b*T + t) % 2 == t % 2 (T even)
-                        step(q, uh, ul, sp, 1 - sp, sp, ws, W, iiw)
-                    else:
-                        prvh, prvl = ld(1 - t % 2)
-                        for s in range(f):
-                            q = k * f + s
-                            sp = s % 2   # == q % 2 (f even)
+                    cur = ld(t % 2)
+                    prev = ld(1 - t % 2)
+                    for s in range(f):
+                        q = k * f + s
+                        # q % 2: s % 2 when f is even, k % 2 == t % 2
+                        # when f == 1 (T is even)
+                        sp = s % 2 if f > 1 else t % 2
 
-                            @when_q(q)
-                            def _(q=q, s=s, sp=sp):
-                                sel = lax.rem(ii_loc, jnp.int32(f)) <= s
-                                ph = jnp.where(sel, curh, prvh)
-                                pl_ = jnp.where(sel, curl, prvl)
-                                uh = pltpu.roll(ph, jnp.int32(1), axis=1)
-                                ul = pltpu.roll(pl_, jnp.int32(1), axis=1)
-                                step(q, uh, ul, sp, 1 - sp, sp, ws, W, iiw)
+                        @when_q(q)
+                        def _(q=q, s=s, sp=sp):
+                            step(q, k, s, sp, cur, prev, wsb, Wb, iibw)
             return 0
         return body
 
@@ -1184,11 +1197,9 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
         lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
     else:
         for (b0, b1, ws_p, W_p) in phases:
-            iiw = (lax.broadcasted_iota(jnp.int32, (slab[0], W_p), 1)
-                   + jnp.int32(ws_p))
             guarded = b1 * spb > n_steps
             lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
-                          make_body(ws_p, W_p, iiw, guarded), 0)
+                          make_body(ws_p, W_p, guarded), 0)
 
     last = (n_steps - 1) % 2
     if hi_stack:
@@ -1205,8 +1216,9 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
         for off in (0, 1):
             pltpu.make_async_copy(gbh.at[_ix(off)], inc_ref.at[_ix(off)],
                                   isem.at[_ix(6 + off)]).wait()
-    outh_ref[...] = sh_ref[last]
-    outl_ref[...] = sl_ref[last]
+    for p in range(f):
+        outh_ref[p] = sh_ref[last, p]
+        outl_ref[p] = sl_ref[last, p]
 
 
 # ---------------------------------------------------------------------------
@@ -1490,9 +1502,11 @@ def solve_final_df_stack(hi: jnp.ndarray, lo: jnp.ndarray,
 
 def gen_supported(B: int, M: int, N: int, dyadic_order: int) -> bool:
     """Geometry gate for the in-kernel RBF generation kernel: TPU backend,
-    pairs-on-sublanes layout, f | LANES, and both paths' point counts
-    within the base lane width ``Lb = ceil(MM+1, LANES) / f`` (the rolling
-    y view and the x row lanes must hold every point)."""
+    pairs-on-sublanes layout, f in (2, 4) (the plane-split consumption and
+    its adjoint), and MATCHING base lane widths on both sides -- the gen
+    kernel's roll modulus ties the x-row and reversed-y views to one
+    width, and the plane-split adjoint's stack pairing needs the forward
+    plane width to equal ``ceil(Mb+1, LANES)``."""
     try:
         platform = jax.devices()[0].platform
     except Exception:
@@ -1500,14 +1514,12 @@ def gen_supported(B: int, M: int, N: int, dyadic_order: int) -> bool:
     if platform not in ("tpu", "axon"):
         return False
     f = 2 ** dyadic_order
-    if f > 4 or M < 2 or N < 2:
+    if f not in (2, 4) or M < 2 or N < 2 or B < 1:
         return False
     MM, NN = (M - 1) * f, (N - 1) * f
-    if MM + 1 > MAX_ROWS or max(MM, NN) + 1 > MAX_ROWS:
+    if MM + 1 > MAX_ROWS or NN + 1 > MAX_ROWS:
         return False
-    L = ceil_to(MM + 1, LANES)
-    Lb = L // f
-    return M <= Lb and N <= Lb
+    return ceil_to(M, LANES) == ceil_to(N, LANES)
 
 
 def _gen_point_slabs(Xp, Yp, sigma, P: int, Lb: int):
@@ -1564,17 +1576,20 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
     n_slots = -(-n_steps // f)
     row_axis, slab, _ = _layout(B, MM)
     assert row_axis == 1, "gen kernel is pairs-on-sublanes only"
-    P, L = slab
-    Lb = L // f
+    P = slab[0]
+    # one lane width serves the x rows, the reversed-y rolling view AND
+    # the state planes (the roll modulus ties them together)
+    Lb = ceil_to(max(Mb + 1, Nb + 1), LANES)
 
     ins = _gen_point_slabs(Xp, Yp, sigma, P, Lb)
 
     hi_stack = stack_pad is not None
     if hi_stack:
         Tp = ceil_to(n_steps + 2, LANES) + stack_pad
-        stk_shape, stk_spec = (Tp,) + slab, pl.BlockSpec(memory_space=pl.ANY)
+        stk_shape = (Tp, f, P, Lb)
+        stk_spec = pl.BlockSpec(memory_space=pl.ANY)
     else:
-        stk_shape = (1, 8, LANES)
+        stk_shape = (1, 1, 8, LANES)
         stk_spec = pl.BlockSpec(memory_space=pl.ANY)
     if emit_inc:
         Ti = ceil_to(n_slots + 2, 8)
@@ -1590,8 +1605,8 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
         window_seg=seg, margin_top=max(8, 3 * f + 2))
     outh, outl, stk, incs = pl.pallas_call(
         kernel,
-        out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
-                   jax.ShapeDtypeStruct(slab, jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((f, P, Lb), jnp.float32),
+                   jax.ShapeDtypeStruct((f, P, Lb), jnp.float32),
                    jax.ShapeDtypeStruct(stk_shape, jnp.float32),
                    jax.ShapeDtypeStruct(inc_shape, jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
@@ -1600,8 +1615,8 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
                    stk_spec,
                    pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
-            pltpu.VMEM((2,) + slab, jnp.float32),       # sh
-            pltpu.VMEM((2,) + slab, jnp.float32),       # sl
+            pltpu.VMEM((2, f, P, Lb), jnp.float32),     # sh
+            pltpu.VMEM((2, f, P, Lb), jnp.float32),     # sl
             pltpu.VMEM((3, P, Lb), jnp.float32),        # gdh
             pltpu.VMEM((3, P, Lb), jnp.float32),        # gdl
             pltpu.VMEM((2, P, Lb), jnp.float32),        # gbh
@@ -1611,8 +1626,9 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(*ins)
-    h = _extract_final(outh, row_axis, MM, B)
-    l = _extract_final(outl, row_axis, MM, B)
+    # final value: refined row MM = plane MM % f, base lane MM // f
+    h = outh[MM % f, :B, MM // f]
+    l = outl[MM % f, :B, MM // f]
     val = h.astype(jnp.float64) + l.astype(jnp.float64)
     outs = (val,)
     if hi_stack:
@@ -1622,14 +1638,16 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
     return outs if len(outs) > 1 else val
 
 
-def gen_inc_unshear(incs: jnp.ndarray, B: int, Mb: int, Nb: int):
+def gen_inc_unshear(incs: jnp.ndarray, B: int, Mb: int, Nb: int, f: int):
     """Hi increment base-diagonal stack ``(Ti, P, Lb)`` (entry k at k) ->
-    ``(B, Mb, Nb)`` f32 grid. Flat-stride inverse shear, tail pad only."""
+    ``(B, Mb, Nb)`` f32 grid. Flat-stride inverse shear, tail pad only.
+    The kernel emits the increments pre-scaled by ``1/f^2`` (the refine
+    scale); undoing it is exact (power of two)."""
     Ti, P, Lb = incs.shape
     D = jnp.transpose(incs, (1, 2, 0))             # (P, Lb, Ti)
     flat = jnp.pad(D.reshape(P, Lb * Ti), ((0, 0), (0, Lb)))
     K = flat.reshape(P, Lb, Ti + 1)[:, :Mb, :Nb]   # K[p, a, b] = D[p,a,a+b]
-    return K[:B]
+    return K[:B] * jnp.float32(f * f)
 
 
 @functools.partial(jax.jit,
@@ -1656,7 +1674,7 @@ def solve_final_df_gen_stack(Xp, Yp, sigma, naive: bool = False,
         val, stk, incs = _solve_final_one_df_gen(
             x, y, sigma, naive, dyadic_order, stack_pad=stack_pad,
             emit_inc=True)
-        return val, stk, gen_inc_unshear(incs, x.shape[0], Mb, Nb)
+        return val, stk, gen_inc_unshear(incs, x.shape[0], Mb, Nb, f)
 
     if B <= chunk:
         val, stk, hi = one((Xp, Yp))

@@ -160,6 +160,17 @@ def _df_hybrid(static_kernel, x, y, gram, naive, dyadic_order):
     2.0e-10 relative vs 2.7e-2 for the f32-grade route at the benchmark
     size (docs/VALIDATION.md).
     """
+    if _gen_route(static_kernel, x, y, dyadic_order, need_grad=False,
+                  gram=gram):
+        # value-only in-kernel generation (no prep pass, no stream)
+        from .ops import pallas_df64
+
+        Xp, Yp = _expand_pairs(x, y, gram)
+        vals = pallas_df64.solve_final_df_gen(
+            Xp, Yp, static_kernel.sigma, naive=naive,
+            dyadic_order=dyadic_order)
+        return vals.reshape((x.shape[0], y.shape[0]) if gram
+                            else (x.shape[0],))
     dd_df = _df_increments(static_kernel, x, y, gram)
     return solve_df(dd_df, naive, dyadic_order)
 
@@ -182,6 +193,94 @@ def _df_hybrid_bwd(gram, naive, dyadic_order, res, g):
 
 
 _df_hybrid.defvjp(_df_hybrid_fwd, _df_hybrid_bwd)
+
+
+def _expand_pairs(x, y, gram: bool):
+    """Per-pair path expansion for the in-kernel-generation solvers (paths
+    are KBs; the increment grids they replace are GBs)."""
+    if not gram:
+        return x, y
+    A, B = x.shape[0], y.shape[0]
+    return jnp.repeat(x, B, axis=0), jnp.tile(y, (A, 1, 1))
+
+
+def _gen_route(static_kernel, x, y, dyadic_order, need_grad: bool,
+               gram: bool) -> bool:
+    """Take the in-kernel RBF increment-generation route? (The kernel's
+    only inputs are the paths: no increment grid, no DF prep pass, no
+    sheared stream -- the largest XLA-side passes of the df step vanish.)
+    With ``need_grad`` the plane-split adjoint geometry and the full-stack
+    residual budget must also hold."""
+    from .ops import pallas_df64, pallas_adjoint
+    from .ops import solve as _solve
+
+    if not _solve.PLANES or type(static_kernel) is not _kernels.RBFKernel:
+        return False
+    import os
+    if os.environ.get("SIG_INKERNEL_GEN", "1") == "0":
+        return False
+    A, M = x.shape[0], x.shape[1]
+    Bt = A * y.shape[0] if gram else A
+    if not pallas_df64.gen_supported(min(Bt, 128), M, y.shape[1],
+                                     dyadic_order):
+        return False
+    if not need_grad:
+        return True
+    Mb, Nb = M - 1, y.shape[1] - 1
+    f = 2 ** dyadic_order
+    return (pallas_adjoint.planes_adj_ok(min(Bt, 128), Mb, Nb, dyadic_order)
+            and _solve._full_stack_bytes(Bt, Mb, Nb, f)
+            <= _solve.CKPT_STACK_BYTES)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _rbf_gen(static_kernel, x, y, gram, naive, dyadic_order):
+    """In-kernel-generation RBF signature solve (df64-grade forward values,
+    f32-grade backward -- the gen analogue of the ``grad_solver='f32'`` df
+    route). Forward: the generation wavefront (paths in, values out,
+    nothing else touches HBM). Backward: the plane-split collapse adjoint
+    consuming the forward-emitted solution + increment stacks, chained to
+    paths/sigma by ``jax.vjp`` through the f32 increment math (exactly the
+    df route's gradient contract)."""
+    from .ops import pallas_df64
+
+    Xp, Yp = _expand_pairs(x, y, gram)
+    vals = pallas_df64.solve_final_df_gen(
+        Xp, Yp, static_kernel.sigma, naive=naive, dyadic_order=dyadic_order)
+    return vals.reshape((x.shape[0], y.shape[0]) if gram else (x.shape[0],))
+
+
+def _rbf_gen_fwd(static_kernel, x, y, gram, naive, dyadic_order):
+    from .ops import pallas_adjoint, pallas_df64
+
+    Xp, Yp = _expand_pairs(x, y, gram)
+    vals, stk, hi = pallas_df64.solve_final_df_gen_stack(
+        Xp, Yp, static_kernel.sigma, naive=naive, dyadic_order=dyadic_order,
+        stack_pad=pallas_adjoint._pad_f(2 ** dyadic_order))
+    shape = (x.shape[0], y.shape[0]) if gram else (x.shape[0],)
+    return vals.reshape(shape), (static_kernel, x, y, stk, hi)
+
+
+def _rbf_gen_bwd(gram, naive, dyadic_order, res, g):
+    from .ops import df_prep, pallas_adjoint
+
+    static_kernel, x, y, stk, hi = res
+    gf = g.reshape(-1).astype(jnp.float32)
+    ct = pallas_adjoint.adjoint_planes_collapsed(
+        hi, gf, naive=naive, dyadic_order=dyadic_order, fwd_stack=stk)
+    ct = ct.reshape(g.shape + ct.shape[-2:])
+
+    def inc_fn(sk_, x_, y_):
+        return df_prep._rbf_dd_f32(x_.astype(jnp.float32),
+                                   y_.astype(jnp.float32),
+                                   jnp.asarray(sk_.sigma, jnp.float32),
+                                   gram)
+
+    _, vjp = jax.vjp(inc_fn, static_kernel, x, y)
+    return vjp(ct.astype(jnp.float32))
+
+
+_rbf_gen.defvjp(_rbf_gen_fwd, _rbf_gen_bwd)
 
 
 def _fused_auto(static_kernel, X, Y, solver, grad_solver, dyadic_order):
@@ -232,6 +331,10 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
         x, y = xy
         if use_df:
             if grad_solver == "f32":
+                if _gen_route(static_kernel, x, y, dyadic_order,
+                              need_grad=True, gram=False):
+                    return _rbf_gen(static_kernel, x, y, False, naive,
+                                    dyadic_order).astype(X.dtype)
                 dd_df = _df_increments(static_kernel, x, y, gram=False)
                 return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
             # honest default: df forward, f64-grade backward
@@ -337,6 +440,10 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
     def tile_fn(x, y):
         if use_df:
             if grad_solver == "f32":
+                if _gen_route(static_kernel, x, y, dyadic_order,
+                              need_grad=True, gram=True):
+                    return _rbf_gen(static_kernel, x, y, True, naive,
+                                    dyadic_order).astype(X.dtype)
                 dd_df = _df_increments(static_kernel, x, y, gram=True)
                 return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
             # honest default: df forward, f64-grade backward
