@@ -1166,6 +1166,32 @@ def solve_final_f32_stack(inc3, naive: bool, dyadic_order: int):
     return val.reshape(Bp)[:B], stk
 
 
+def solve_final_f32_stack_pl(inc3, naive: bool, dyadic_order: int):
+    """Plane-split analogue of :func:`solve_final_f32_stack`: values plus
+    per-chunk PLANE-layout stacks for :func:`adjoint_planes_collapsed`.
+    Caller gates on :func:`planes_adj_ok`."""
+    from .pallas_solver import _solve_final_one_f32_pl
+
+    f = 2 ** dyadic_order
+    B, Mb, Nb = inc3.shape
+    MM, NN = Mb * f, Nb * f
+    pad = _pad_f(f)
+    chunk = shared_chunk(MM, NN)
+
+    def one(c):
+        return _solve_final_one_f32_pl(c, naive, dyadic_order,
+                                       stack_pad=pad)
+
+    if B <= chunk:
+        val, S = one(inc3)
+        return val, S[None]
+    Bp = ceil_to(B, chunk)
+    inc4 = jnp.pad(inc3, ((0, Bp - B), (0, 0), (0, 0)))
+    inc4 = inc4.reshape(Bp // chunk, chunk, Mb, Nb)
+    val, stk = jax.lax.map(one, inc4)
+    return val.reshape(Bp)[:B], stk
+
+
 def shared_chunk(MM: int, NN: int) -> int:
     """The pair-chunk size BOTH the stack-emitting df64 forward and the
     collapsed adjoint must use for their per-chunk stacks to pair up."""

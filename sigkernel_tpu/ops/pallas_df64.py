@@ -1013,7 +1013,7 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
         d2h, d2l = _df_add(win(sxh_ref[...]), win(sxl_ref[...]), syh, syl)
         m2h, m2l = _df_mul_const(crh, crl, -2.0)
         d2h, d2l = _df_add(d2h, d2l, m2h, m2l)
-        ah, al = _df_mul(d2h, d2l, rsh, rsl)    # (P, 1) broadcasts
+        ah, al = _df_mul(d2h, d2l, win(rsh), win(rsl))
         return _df_exp(ah, al)
 
     # pre-loop: G diagonals 0 and 1 (full width; 2 steps, negligible)
@@ -1060,7 +1060,10 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
         ah, al = _df_add(g2r_h, g2r_l, g0h_, g0l_)
         bh, bl = _df_add(g1r_h, g1r_l, g1h_, g1l_)
         ih, il = _df_add(ah, al, -bh, -bl)
-        iiw = iib if wsb is None else iib[:, wsb:wsb + Wb]
+        # build the windowed iota fresh: slicing a broadcasted_iota's
+        # sublane-replicated layout crashes Mosaic's vector-layout pass
+        iiw = iib if wsb is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
         bi = jnp.int32(0) + k - iiw
         valid = (iiw < Mb) & (bi >= 0) & (bi < Nb)
         ih = jnp.where(valid, ih * inv_f2, zero)
@@ -1551,8 +1554,11 @@ def _gen_point_slabs(Xp, Yp, sigma, P: int, Lb: int):
     yrh, yrl = (jnp.moveaxis(pad_yr(c), -1, 0) for c in y)
     sxh, sxl = (pad_x(c) for c in sx)                       # (P, Lb)
     syh, syl = (pad_yr(c) for c in sy)
-    rsh = jnp.broadcast_to(rs[0].astype(jnp.float32), (P, 1))
-    rsl = jnp.broadcast_to(rs[1].astype(jnp.float32), (P, 1))
+    # full-width rs slabs: a (P, 1) operand broadcast inside a windowed
+    # body crashes Mosaic's vector-layout pass (observed at the benchmark
+    # geometry); 0.5 MB of VMEM buys a plain elementwise multiply
+    rsh = jnp.broadcast_to(rs[0].astype(jnp.float32), (P, Lb))
+    rsl = jnp.broadcast_to(rs[1].astype(jnp.float32), (P, Lb))
     return xh, xl, sxh, sxl, yrh, yrl, syh, syl, rsh, rsl
 
 

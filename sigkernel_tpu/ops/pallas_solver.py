@@ -782,6 +782,204 @@ def solve_grid(inc: jnp.ndarray, naive: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Plane-split f32 wavefront (see pallas_df64._wavefront_df_planes_kernel
+# for the representation; this is its single-precision sibling)
+# ---------------------------------------------------------------------------
+
+def _wavefront_f32_planes_kernel(inc_hbm, out_ref, stk_ref, state, ibuf,
+                                 isem, carry, *, n_steps, MM, NN, naive,
+                                 refine, hi_stack=False, out_offset=0,
+                                 window_seg=0):
+    """Plane-split f32 wavefront (refine = f >= 2): base-width stream
+    (entry k = base diag k, offset 0, pre-scaled 1/f^2), state planes
+    ``(2, f, P, Lb)``, optional solution stack ``(Tp, f, P, Lb)`` (entry q
+    at q + out_offset) for the plane-split adjoint. Bit-identical values
+    to the stretched kernel."""
+    T = DMA_BATCH
+    f = refine
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, T)
+    P, Lb = state.shape[2], state.shape[3]
+    iib = lax.broadcasted_iota(jnp.int32, (P, Lb), 1)
+    one = jnp.float32(1.0)
+
+    spb = T * f
+    phases = None
+    if window_seg:
+        phases = _window_phases(n_batches, spb, n_steps, NN, f * Lb,
+                                window_seg, align=f * LANES)
+
+    for p in range(f):
+        state[0, p] = jnp.ones((P, Lb), jnp.float32)
+        state[1, p] = jnp.ones((P, Lb), jnp.float32)
+
+    def in_copy(b, slot):
+        return pltpu.make_async_copy(inc_hbm.at[pl.ds(_ix(b * T), T)],
+                                     ibuf.at[_ix(slot)], isem.at[_ix(slot)])
+
+    in_copy(0, 0).start()
+
+    def step(q, k, s, sp, cur, prev, wsb=None, Wb=None, iibw=None):
+        vm2, vm1 = sp, 1 - sp
+        iiw = iib if wsb is None else iibw
+
+        def st(slot, p):
+            if wsb is None:
+                return state[slot, p]
+            return state[slot, p, :, wsb:wsb + Wb]
+
+        k10 = [st(vm1, p) for p in range(f)]
+        p2 = [st(vm2, p) for p in range(f)]
+        roll1 = lambda x: pltpu.roll(x, jnp.int32(1), axis=1)
+        k01 = [roll1(k10[f - 1])] + k10[:f - 1]
+        k00 = [roll1(p2[f - 1])] + p2[:f - 1]
+        u = [roll1(cur if s == f - 1 else prev)] + \
+            [(cur if p <= s else prev) for p in range(f - 1)]
+
+        p_star = (s + 2) % f
+        off = (s + 2 - p_star) // f
+        hit_lane = jnp.int32(0) + k + off
+
+        vs = []
+        for p in range(f):
+            v = _scheme(k00[p], k01[p], k10[p], u[p], naive)
+            mask = iiw > (MM - p) // f
+            if p == p_star:
+                mask = mask | (iiw == hit_lane)
+            if p == 0:
+                mask = mask | (iiw == 0)
+            v = jnp.where(mask, one, v)
+            if wsb is not None and wsb > 0 and p == 0:
+                v = jnp.where(iiw == wsb, p2[0], v)
+            vs.append(v)
+
+        if hi_stack:
+            @pl.when(q >= 2)
+            def _():
+                pltpu.make_async_copy(
+                    state.at[_ix(vm2)],
+                    stk_ref.at[_ix(q - 2 + out_offset)],
+                    isem.at[_ix(2 + sp)]).wait()
+        for p in range(f):
+            if wsb is None:
+                state[vm2, p] = vs[p]
+            else:
+                state[vm2, p, :, wsb:wsb + Wb] = vs[p]
+        if hi_stack:
+            pltpu.make_async_copy(state.at[_ix(vm2)],
+                                  stk_ref.at[_ix(q + out_offset)],
+                                  isem.at[_ix(2 + sp)]).start()
+
+    def make_body(ws=None, W=None, guarded=True):
+        wsb = None if ws is None else ws // f
+        Wb = None if ws is None else W // f
+        iibw = None if ws is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
+
+        def when_q(q):
+            if guarded:
+                return pl.when(q < n_steps)
+            return lambda fn: fn()
+
+        def sl_in(x):
+            return x if wsb is None else x[:, wsb:wsb + Wb]
+
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
+
+            @pl.when(b + 1 < n_batches)
+            def _():
+                in_copy(b + 1, 1 - bslot).start()
+
+            in_copy(b, bslot).wait()
+
+            for t in range(T):
+                k = b * T + t
+                for s in range(f):
+                    q = k * f + s
+                    sp = s % 2           # == q % 2 (f even)
+
+                    @when_q(q)
+                    def _(k=k, t=t, s=s, sp=sp, q=q):
+                        cur = sl_in(ibuf[bslot, t])
+                        prev = (sl_in(carry[0]) if t == 0
+                                else sl_in(ibuf[bslot, t - 1]))
+                        step(q, k, s, sp, cur, prev, wsb, Wb, iibw)
+            carry[0] = ibuf[bslot, T - 1]
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, guarded), 0)
+
+    last = (n_steps - 1) % 2
+    if hi_stack:
+        pltpu.make_async_copy(state.at[_ix(last)],
+                              stk_ref.at[_ix(n_steps - 1 + out_offset)],
+                              isem.at[_ix(2 + last)]).wait()
+        @pl.when(n_steps >= 2)
+        def _():
+            pltpu.make_async_copy(
+                state.at[_ix(1 - last)],
+                stk_ref.at[_ix(n_steps - 2 + out_offset)],
+                isem.at[_ix(2 + (1 - last))]).wait()
+    for p in range(f):
+        out_ref[p] = state[last, p]
+
+
+def _solve_final_one_f32_pl(inc3: jnp.ndarray, naive: bool,
+                            dyadic_order: int, stack_pad=None,
+                            window_seg=None):
+    """Plane-split f32 final-corner solve; with ``stack_pad`` also returns
+    the solution stack in PLANE layout for the plane-split adjoint."""
+    B, Mb, Nb = inc3.shape
+    f = 2 ** dyadic_order
+    MM, NN = Mb * f, Nb * f
+    n_steps = MM + NN - 1
+    row_axis, slab, _ = _layout(B, MM)
+    assert row_axis == 1, "plane-split kernel is pairs-on-sublanes only"
+    P = slab[0]
+    Lb = ceil_to(Mb + 1, LANES)
+    base = inc3.astype(jnp.float32) * jnp.float32(1.0 / (f * f))
+    sk = _base_stream(base, DMA_BATCH, P, Lb, f)
+
+    hi_stack = stack_pad is not None
+    if hi_stack:
+        Tp = ceil_to(n_steps + 2, LANES) + stack_pad
+        stk_shape = (Tp, f, P, Lb)
+    else:
+        stk_shape = (1, 1, 8, LANES)
+    kernel = functools.partial(
+        _wavefront_f32_planes_kernel, n_steps=n_steps, MM=MM, NN=NN,
+        naive=naive, refine=f, hi_stack=hi_stack,
+        out_offset=stack_pad if hi_stack else 0,
+        window_seg=WINDOW_SEG if window_seg is None else window_seg)
+    out, stk = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((f, P, Lb), jnp.float32),
+                   jax.ShapeDtypeStruct(stk_shape, jnp.float32)),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pl.ANY)),
+        scratch_shapes=[
+            pltpu.VMEM((2, f, P, Lb), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, Lb), jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((1, P, Lb), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(sk)
+    val = out[MM % f, :B, MM // f]
+    return (val, stk) if hi_stack else val
+
+
+# ---------------------------------------------------------------------------
 # Sheared-space adjoint: dd cotangent straight from the diagonal stacks
 # ---------------------------------------------------------------------------
 

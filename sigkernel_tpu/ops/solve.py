@@ -84,6 +84,21 @@ def _resolve(solver: str, inc, dyadic_order: int) -> str:
 def _solve_final(inc, naive, solver, dyadic_order):
     s = _resolve(solver, inc, dyadic_order)
     if s == "pallas":
+        import math
+
+        B = math.prod(inc.shape[:-2])
+        if PLANES and pallas_df64.planes_ok(min(B, 128), inc.shape[-2],
+                                            inc.shape[-1], dyadic_order):
+            from .pallas_solver import (_chunk_map, _solve_final_one_f32_pl,
+                                        pair_chunk)
+
+            f = 2 ** dyadic_order
+            MM, NN = inc.shape[-2] * f, inc.shape[-1] * f
+            inc3 = inc.reshape((B,) + inc.shape[-2:]).astype(jnp.float32)
+            out = _chunk_map(
+                lambda c: _solve_final_one_f32_pl(c, naive, dyadic_order),
+                inc3, min(pair_chunk(MM, NN), 128))
+            return out.reshape(inc.shape[:-2])
         return pallas_solver.solve_final(inc, naive=naive,
                                          dyadic_order=dyadic_order)
     if s == "pallas_df64":
@@ -186,8 +201,26 @@ def _f32_stack_gate(inc, dyadic_order: int) -> bool:
             and _full_stack_bytes(B, Mb, Nb, f) <= CKPT_STACK_BYTES)
 
 
+def _f32_planes_gate(inc, dyadic_order: int) -> bool:
+    """Plane-split f32 stack-sharing route gate (mirrors the df gate)."""
+    from . import pallas_adjoint
+
+    if not PLANES:
+        return False
+    B, Mb, Nb = inc.shape
+    f = 2 ** dyadic_order
+    return (pallas_adjoint.planes_adj_ok(min(B, 128), Mb, Nb, dyadic_order)
+            and _full_stack_bytes(B, Mb, Nb, f) <= CKPT_STACK_BYTES)
+
+
 def _solve_fwd(inc, naive, solver, dyadic_order, grad_solver):
     s = _resolve(solver, inc, dyadic_order)
+    if s == "pallas" and _f32_planes_gate(inc, dyadic_order):
+        from . import pallas_adjoint
+
+        val, stk = pallas_adjoint.solve_final_f32_stack_pl(inc, naive,
+                                                           dyadic_order)
+        return val, (inc, stk)
     if s == "pallas" and _f32_stack_gate(inc, dyadic_order):
         from . import pallas_adjoint
 
@@ -225,6 +258,13 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, res, g):
                       or (grad_solver == "auto" and s == "pallas_df64"))
     if s in ("pallas", "pallas_df64") and not (
             s == "pallas_df64" and want_f64_grade):
+        if s == "pallas" and _f32_planes_gate(inc, dyadic_order):
+            # plane-split stack-sharing route (the fwd emitted a
+            # plane-layout stack)
+            ct = pallas_adjoint.adjoint_planes_collapsed(
+                inc, g, naive=naive, dyadic_order=dyadic_order,
+                fwd_stack=fstk)
+            return (ct.astype(inc.dtype),)
         # fused adjoint: the reverse sweep multiplies the forward stack
         # in-flight and collapses the cotangent to base resolution
         # in-kernel (falls back to the sheared-space adjoint_dd for

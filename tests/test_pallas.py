@@ -281,3 +281,32 @@ def test_f32_stack_sharing_route(rng, monkeypatch):
                                rtol=1e-5, atol=1e-6)
 
 
+
+
+@pytest.mark.parametrize("dyadic", [1, 2])
+def test_f32_planes_bitexact(rng, dyadic):
+    """Plane-split f32 kernel: bit-equal values to the stretched kernel;
+    the plane-layout stack drives the plane-split adjoint."""
+    from sigkernel_tpu.ops import pallas_adjoint
+    from sigkernel_tpu.ops.pallas_solver import (_solve_final_one,
+                                                 _solve_final_one_f32_pl)
+
+    B, Mb, Nb = 3, 7, 9
+    f = 2 ** dyadic
+    inc = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1, jnp.float32)
+    ref = np.asarray(_solve_final_one(inc, False, dyadic))
+    got = np.asarray(_solve_final_one_f32_pl(inc, False, dyadic))
+    np.testing.assert_array_equal(got, ref)
+    win = np.asarray(_solve_final_one_f32_pl(inc, False, dyadic,
+                                             window_seg=8))
+    np.testing.assert_array_equal(win, ref)
+    v, stk = _solve_final_one_f32_pl(inc, False, dyadic,
+                                     stack_pad=pallas_adjoint._pad_f(f))
+    np.testing.assert_array_equal(np.asarray(v), ref)
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    ct = np.asarray(pallas_adjoint.adjoint_planes_collapsed(
+        inc, g, False, dyadic, fwd_stack=stk[None]))
+    want = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=dyadic))
+    sc = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(ct, want, atol=2e-5 * sc, rtol=0)

@@ -305,3 +305,50 @@ def test_df64_planes_bitexact(rng, naive, shape, dyadic):
     b = np.asarray(stk_ref)[pad:pad + n_steps, :, :Lc]
     np.testing.assert_array_equal(np.nan_to_num(a, nan=3e33),
                                   np.nan_to_num(b, nan=3e33))
+
+
+@pytest.mark.parametrize("gram", [True, False])
+@pytest.mark.parametrize("dims,dyadic", [((2, 2, 8, 8), 1),
+                                         ((1, 3, 9, 6), 2)])
+def test_df64_inkernel_generation(rng, dims, dyadic, gram):
+    """In-kernel RBF increment generation: df64-grade values vs the f64
+    scan oracle, emitted hi increments BIT-equal to the DF prep, and the
+    emitted solution stack drives the plane-split adjoint to the same
+    f32-grade gradients as the df stream route."""
+    import jax
+
+    from sigkernel_tpu.ops import df32, df_prep, pallas_adjoint, scan_solver
+    from sigkernel_tpu.utils import dyadic_refine
+
+    A, B, M, N = dims
+    f = 2 ** dyadic
+    sigma = 0.9
+    X = jnp.asarray(rng.normal(size=(A, M, 3)).cumsum(1) * 0.1)
+    Y = jnp.asarray(rng.normal(size=(B, N, 3)).cumsum(1) * 0.1)
+    if gram:
+        Xp, Yp = jnp.repeat(X, B, 0), jnp.tile(Y, (A, 1, 1))
+    else:
+        Yp = jnp.asarray(rng.normal(size=(A, N, 3)).cumsum(1) * 0.1)
+        Xp, Y = X, Yp
+    v = np.asarray(pallas_df64.solve_final_df_gen(Xp, Yp, sigma, False,
+                                                  dyadic))
+    hi, lo = df_prep.rbf_increments_df(X, Y, sigma, gram=gram)
+    inc = np.asarray(df32.to_f64((hi, lo))).reshape(-1, M - 1, N - 1)
+    want = np.asarray(scan_solver.solve_final(
+        dyadic_refine(jnp.asarray(inc), dyadic)))
+    np.testing.assert_allclose(v, want.reshape(v.shape), rtol=1e-11)
+
+    from sigkernel_tpu.ops.pallas_adjoint import _pad_f
+    v2, stk, hig = pallas_df64.solve_final_df_gen_stack(
+        Xp, Yp, sigma, False, dyadic, stack_pad=_pad_f(f))
+    np.testing.assert_array_equal(np.asarray(v2), v)
+    hi_flat = np.asarray(hi).reshape(-1, M - 1, N - 1)
+    np.testing.assert_array_equal(np.asarray(hig), hi_flat)
+    g = jnp.asarray(rng.normal(size=(v.size,)), jnp.float32)
+    ct = np.asarray(pallas_adjoint.adjoint_planes_collapsed(
+        jnp.asarray(hi_flat), g, False, dyadic, fwd_stack=stk))
+    from sigkernel_tpu.ops.solve import _grid_route_bwd
+    (ct64,) = _grid_route_bwd(jnp.asarray(inc), g.astype(jnp.float64),
+                              False, "scan", dyadic)
+    sc = np.abs(np.asarray(ct64)).max()
+    np.testing.assert_allclose(ct, np.asarray(ct64), atol=2e-5 * sc, rtol=0)
