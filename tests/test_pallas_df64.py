@@ -352,3 +352,46 @@ def test_df64_inkernel_generation(rng, dims, dyadic, gram):
                               False, "scan", dyadic)
     sc = np.abs(np.asarray(ct64)).max()
     np.testing.assert_allclose(ct, np.asarray(ct64), atol=2e-5 * sc, rtol=0)
+
+
+@pytest.mark.parametrize("gram", [True, False])
+def test_rbf_gen_route_end_to_end(rng, gram):
+    """The ``_rbf_gen`` custom_vjp (the in-kernel-generation route taken by
+    ``sig_kernel``/``sig_gram`` when ``grad_solver='f32'`` on TPU): values
+    must match the df stream route it replaces to df64 grade, and the
+    X/Y/sigma gradient chain (plane-split collapse adjoint + f32 increment
+    vjp) must match the stream route's gradients to f32 grade."""
+    import jax
+
+    from sigkernel_tpu import sigkernel as sk_mod
+    from sigkernel_tpu import RBFKernel
+    from sigkernel_tpu.ops.solve import solve_df
+
+    dyadic = 1
+    A, B, M, N = (2, 3, 9, 9) if gram else (3, 1, 8, 8)
+    X = jnp.asarray(rng.normal(size=(A, M, 3)).cumsum(1) * 0.1)
+    Y = jnp.asarray(rng.normal(size=((B if gram else A), N, 3)).cumsum(1)
+                    * 0.1)
+    w = jnp.asarray(rng.normal(size=((A, B) if gram else (A,))))
+
+    def gen_route(sig, x, y):
+        v = sk_mod._rbf_gen(RBFKernel(sigma=sig), x, y, gram, False, dyadic)
+        return (v * w).sum(), v
+
+    def stream_route(sig, x, y):
+        dd_df = sk_mod._df_increments(RBFKernel(sigma=sig), x, y, gram)
+        v = solve_df(dd_df, False, dyadic)
+        v = v.reshape(w.shape)
+        return (v * w).sum(), v
+
+    sig0 = jnp.asarray(0.8, jnp.float64)
+    (_, vg), gg = jax.value_and_grad(gen_route, argnums=(0, 1, 2),
+                                     has_aux=True)(sig0, X, Y)
+    (_, vs), gs = jax.value_and_grad(stream_route, argnums=(0, 1, 2),
+                                     has_aux=True)(sig0, X, Y)
+    np.testing.assert_allclose(np.asarray(vg), np.asarray(vs), rtol=1e-11)
+    for a, b, name in zip(gg, gs, ("sigma", "X", "Y")):
+        a, b = np.asarray(a), np.asarray(b)
+        sc = max(np.abs(b).max(), 1e-12)
+        np.testing.assert_allclose(a, b, atol=3e-5 * sc, rtol=0,
+                                   err_msg=f"grad wrt {name}")
