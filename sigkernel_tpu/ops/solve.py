@@ -260,7 +260,12 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, res, g):
             s == "pallas_df64" and want_f64_grade):
         if s == "pallas" and _f32_planes_gate(inc, dyadic_order):
             # plane-split stack-sharing route (the fwd emitted a
-            # plane-layout stack)
+            # plane-layout stack); callers without a shared stack (e.g.
+            # the fused route's backward, which recomputes increments)
+            # re-run the stack-emitting forward here
+            if fstk is None:
+                _, fstk = pallas_adjoint.solve_final_f32_stack_pl(
+                    inc, naive, dyadic_order)
             ct = pallas_adjoint.adjoint_planes_collapsed(
                 inc, g, naive=naive, dyadic_order=dyadic_order,
                 fwd_stack=fstk)

@@ -173,3 +173,25 @@ def test_adjoint_planes_matches_collapsed(rng, shape, dyadic_order):
     # f32 association-order noise: the planes route sums the f plane
     # contributions per step, the stretched route block-sums at the end
     np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
+
+
+@pytest.mark.parametrize("dyadic_order", [1])
+def test_solve_bwd_planes_without_stack(rng, monkeypatch, dyadic_order):
+    """The planes route must recompute the forward stack when the caller
+    has none (the fused route's backward passes ``res = (inc, None)``;
+    regression: TypeError 'NoneType' object is not subscriptable)."""
+    from sigkernel_tpu.ops import solve as solve_mod
+    from sigkernel_tpu.ops import pallas_adjoint
+
+    B, Mb, Nb = 3, 7, 9
+    inc = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1, jnp.float32)
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    monkeypatch.setattr(solve_mod, "_resolve", lambda *a: "pallas")
+    monkeypatch.setattr(solve_mod, "_f32_planes_gate", lambda *a: True)
+    (got,) = solve_mod._solve_bwd(False, "auto", dyadic_order, "auto",
+                                  (inc, None), g)
+    want = np.asarray(pallas_adjoint.adjoint_fused_collapsed(
+        inc, g, naive=False, dyadic_order=dyadic_order))
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-5 * scale,
+                               rtol=0)
