@@ -908,6 +908,125 @@ T_GEN = 6  # base diags per loop batch: 6 = lcm(2, 3) makes both the inc
            # ping-pong slot (k % 2) and the G rotation slot (k % 3) static
 
 
+def _make_inc_gen(point_refs, gdh, gdl, gbh, gbl, *, Mb, Nb, refine,
+                  emit_wait=None, emit_start=None):
+    """Build the in-kernel RBF increment-generation closures.
+
+    Shared by the forward gen kernel and the gen adjoint (which generates
+    its reverse stream from swapped+flipped path slabs; DF add/mul and
+    two-prod are exactly commutative, so the generated reverse diagonals
+    are bit-identical to transposing+flipping the forward ones).
+
+    ``point_refs``: the 10 VMEM point-slab refs in
+    :func:`_gen_point_slabs` order. ``gdh/gdl``: (3, P, Lb) G-diagonal
+    rotation scratch; ``gbh/gbl``: (2, P, Lb) generated-increment
+    ping-pong scratch. ``emit_wait(t)`` / ``emit_start(k, t)`` optionally
+    bracket the gb-slot overwrite for HBM emission (forward kernel only).
+
+    Returns ``(gen_G, gen_inc)``; the caller seeds G diagonals 0 and 1
+    (``gdh[0], gdl[0] = gen_G(0)`` etc.) before the loop and must call
+    ``gen_inc(k, t)`` with ``t`` congruent to ``k`` mod 6 (= lcm of the
+    inc ping-pong and G-rotation slots).
+    """
+    (xh_ref, xl_ref, sxh_ref, sxl_ref, yrh_ref, yrl_ref,
+     syh_ref, syl_ref, rsh_ref, rsl_ref) = point_refs
+    D = xh_ref.shape[0]
+    P, Lb = gbh.shape[1], gbh.shape[2]
+    C = Lb - 1
+    f = refine
+    iib = lax.broadcasted_iota(jnp.int32, (P, Lb), 1)
+    zero = jnp.float32(0.0)
+    inv_f2 = np.float32(1.0 / (f * f))
+    rsh = rsh_ref[...]
+    rsl = rsl_ref[...]
+
+    def gen_G(kk, wsb=None, Wb=None):
+        """DF G point-diagonal ``kk`` on lanes [wsb, wsb+Wb) (full slab if
+        None). Rolls are full-width; arithmetic windowed."""
+        rho = lax.rem(jnp.int32(kk) - jnp.int32(C) + jnp.int32(2 * Lb),
+                      jnp.int32(Lb))
+
+        def win(v):
+            return v if wsb is None else v[:, wsb:wsb + Wb]
+
+        crh = crl = None
+        for d in range(D):
+            ryh = win(pltpu.roll(yrh_ref[d], rho, axis=1))
+            ryl = win(pltpu.roll(yrl_ref[d], rho, axis=1))
+            ph, pl_ = _df_mul(win(xh_ref[d]), win(xl_ref[d]), ryh, ryl)
+            if crh is None:
+                crh, crl = ph, pl_
+            else:
+                crh, crl = _df_add(crh, crl, ph, pl_)
+        syh = win(pltpu.roll(syh_ref[...], rho, axis=1))
+        syl = win(pltpu.roll(syl_ref[...], rho, axis=1))
+        d2h, d2l = _df_add(win(sxh_ref[...]), win(sxl_ref[...]), syh, syl)
+        m2h, m2l = _df_mul_const(crh, crl, -2.0)
+        d2h, d2l = _df_add(d2h, d2l, m2h, m2l)
+        ah, al = _df_mul(d2h, d2l, win(rsh), win(rsl))
+        return _df_exp(ah, al)
+
+    def gen_inc(k, t, wsb=None, Wb=None):
+        """Generate base inc diagonal ``k`` into gbuf slot ``t % 2``;
+        G slots are static (T = 6 = lcm(2,3)): k % 3 == t % 3."""
+        s2 = (t + 2) % 3           # slot of G diag k+2 (to be written)
+        s1 = (t + 1) % 3
+        s0 = t % 3
+        gh, gl = gen_G(k + 2, wsb, Wb)
+        if wsb is None:
+            gdh[s2], gdl[s2] = gh, gl
+            g0h_, g0l_ = gdh[s0], gdl[s0]
+            g1f_h, g1f_l = gdh[s1], gdl[s1]
+        else:
+            gdh[s2, :, wsb:wsb + Wb] = gh
+            gdl[s2, :, wsb:wsb + Wb] = gl
+            g0h_ = gdh[s0, :, wsb:wsb + Wb]
+            g0l_ = gdl[s0, :, wsb:wsb + Wb]
+            g1f_h, g1f_l = gdh[s1], gdl[s1]
+        # shifts: z[a] = x[a + 1] (roll by Lb - 1; wrap junk lands outside
+        # the valid grid and is zero-masked below)
+        sh1 = jnp.int32(Lb - 1)
+        if wsb is None:
+            g2r_h = pltpu.roll(gh, sh1, axis=1)
+            g2r_l = pltpu.roll(gl, sh1, axis=1)
+        else:
+            g2r_h = pltpu.roll(gdh[s2], sh1, axis=1)[:, wsb:wsb + Wb]
+            g2r_l = pltpu.roll(gdl[s2], sh1, axis=1)[:, wsb:wsb + Wb]
+        g1r_h = pltpu.roll(g1f_h, sh1, axis=1)
+        g1r_l = pltpu.roll(g1f_l, sh1, axis=1)
+        if wsb is not None:
+            g1r_h = g1r_h[:, wsb:wsb + Wb]
+            g1r_l = g1r_l[:, wsb:wsb + Wb]
+            g1h_, g1l_ = g1f_h[:, wsb:wsb + Wb], g1f_l[:, wsb:wsb + Wb]
+        else:
+            g1h_, g1l_ = g1f_h, g1f_l
+        # dd in df_prep._dd's op order: (g11 + g00) - (g10 + g01)
+        ah, al = _df_add(g2r_h, g2r_l, g0h_, g0l_)
+        bh, bl = _df_add(g1r_h, g1r_l, g1h_, g1l_)
+        ih, il = _df_add(ah, al, -bh, -bl)
+        # build the windowed iota fresh: slicing a broadcasted_iota's
+        # sublane-replicated layout crashes Mosaic's vector-layout pass
+        iiw = iib if wsb is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
+        bi = jnp.int32(0) + k - iiw
+        valid = (iiw < Mb) & (bi >= 0) & (bi < Nb)
+        ih = jnp.where(valid, ih * inv_f2, zero)
+        il = jnp.where(valid, il * inv_f2, zero)
+        if emit_wait is not None:
+            # the k-2 emission reads this slot: it must land before the
+            # overwrite below (the dst index is irrelevant to the wait)
+            emit_wait(t)
+        if wsb is None:
+            gbh[t % 2], gbl[t % 2] = ih, il
+        else:
+            gbh[t % 2, :, wsb:wsb + Wb] = ih
+            gbl[t % 2, :, wsb:wsb + Wb] = il
+        if emit_start is not None:
+            emit_start(k, t)
+
+    return gen_G, gen_inc
+
+
 def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
                              yrh_ref, yrl_ref, syh_ref, syl_ref,
                              rsh_ref, rsl_ref,
@@ -987,103 +1106,30 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
     gbh[1] = jnp.zeros((P, Lb), jnp.float32)   # inc diag -1 == exact zeros
     gbl[1] = jnp.zeros((P, Lb), jnp.float32)
 
-    rsh = rsh_ref[...]
-    rsl = rsl_ref[...]
+    def emit_wait(t):
+        # (forward emission only) the k-2 emission reads slot t%2
+        pltpu.make_async_copy(gbh.at[_ix(t % 2)], inc_ref.at[_ix(0)],
+                              isem.at[_ix(6 + t % 2)]).wait()
 
-    def gen_G(kk, wsb=None, Wb=None):
-        """DF G point-diagonal ``kk`` on lanes [wsb, wsb+Wb) (full slab if
-        None). Rolls are full-width; arithmetic windowed."""
-        rho = lax.rem(jnp.int32(kk) - jnp.int32(C) + jnp.int32(2 * Lb),
-                      jnp.int32(Lb))
+    def emit_start(k, t):
+        @pl.when(k < n_slots)
+        def _():
+            pltpu.make_async_copy(gbh.at[_ix(t % 2)],
+                                  inc_ref.at[_ix(jnp.int32(0) + k)],
+                                  isem.at[_ix(6 + t % 2)]).start()
 
-        def win(v):
-            return v if wsb is None else v[:, wsb:wsb + Wb]
-
-        crh = crl = None
-        for d in range(D):
-            ryh = win(pltpu.roll(yrh_ref[d], rho, axis=1))
-            ryl = win(pltpu.roll(yrl_ref[d], rho, axis=1))
-            ph, pl_ = _df_mul(win(xh_ref[d]), win(xl_ref[d]), ryh, ryl)
-            if crh is None:
-                crh, crl = ph, pl_
-            else:
-                crh, crl = _df_add(crh, crl, ph, pl_)
-        syh = win(pltpu.roll(syh_ref[...], rho, axis=1))
-        syl = win(pltpu.roll(syl_ref[...], rho, axis=1))
-        d2h, d2l = _df_add(win(sxh_ref[...]), win(sxl_ref[...]), syh, syl)
-        m2h, m2l = _df_mul_const(crh, crl, -2.0)
-        d2h, d2l = _df_add(d2h, d2l, m2h, m2l)
-        ah, al = _df_mul(d2h, d2l, win(rsh), win(rsl))
-        return _df_exp(ah, al)
+    gen_G, gen_inc = _make_inc_gen(
+        (xh_ref, xl_ref, sxh_ref, sxl_ref, yrh_ref, yrl_ref,
+         syh_ref, syl_ref, rsh_ref, rsl_ref),
+        gdh, gdl, gbh, gbl, Mb=Mb, Nb=Nb, refine=f,
+        emit_wait=emit_wait if emit_inc else None,
+        emit_start=emit_start if emit_inc else None)
 
     # pre-loop: G diagonals 0 and 1 (full width; 2 steps, negligible)
     g0h, g0l = gen_G(0)
     gdh[0], gdl[0] = g0h, g0l
     g1h, g1l = gen_G(1)
     gdh[1], gdl[1] = g1h, g1l
-
-    def gen_inc(k, t, wsb=None, Wb=None):
-        """Generate base inc diagonal ``k`` into gbuf slot ``t % 2``;
-        G slots are static (T = 6 = lcm(2,3)): k % 3 == t % 3."""
-        s2 = (t + 2) % 3           # slot of G diag k+2 (to be written)
-        s1 = (t + 1) % 3
-        s0 = t % 3
-        gh, gl = gen_G(k + 2, wsb, Wb)
-        if wsb is None:
-            gdh[s2], gdl[s2] = gh, gl
-            g0h_, g0l_ = gdh[s0], gdl[s0]
-            g1f_h, g1f_l = gdh[s1], gdl[s1]
-        else:
-            gdh[s2, :, wsb:wsb + Wb] = gh
-            gdl[s2, :, wsb:wsb + Wb] = gl
-            g0h_ = gdh[s0, :, wsb:wsb + Wb]
-            g0l_ = gdl[s0, :, wsb:wsb + Wb]
-            g1f_h, g1f_l = gdh[s1], gdl[s1]
-        # shifts: z[a] = x[a + 1] (roll by Lb - 1; wrap junk lands outside
-        # the valid grid and is zero-masked below)
-        sh1 = jnp.int32(Lb - 1)
-        if wsb is None:
-            g2r_h = pltpu.roll(gh, sh1, axis=1)
-            g2r_l = pltpu.roll(gl, sh1, axis=1)
-        else:
-            g2r_h = pltpu.roll(gdh[s2], sh1, axis=1)[:, wsb:wsb + Wb]
-            g2r_l = pltpu.roll(gdl[s2], sh1, axis=1)[:, wsb:wsb + Wb]
-        g1r_h = pltpu.roll(g1f_h, sh1, axis=1)
-        g1r_l = pltpu.roll(g1f_l, sh1, axis=1)
-        if wsb is not None:
-            g1r_h = g1r_h[:, wsb:wsb + Wb]
-            g1r_l = g1r_l[:, wsb:wsb + Wb]
-            g1h_, g1l_ = g1f_h[:, wsb:wsb + Wb], g1f_l[:, wsb:wsb + Wb]
-        else:
-            g1h_, g1l_ = g1f_h, g1f_l
-        # dd in df_prep._dd's op order: (g11 + g00) - (g10 + g01)
-        ah, al = _df_add(g2r_h, g2r_l, g0h_, g0l_)
-        bh, bl = _df_add(g1r_h, g1r_l, g1h_, g1l_)
-        ih, il = _df_add(ah, al, -bh, -bl)
-        # build the windowed iota fresh: slicing a broadcasted_iota's
-        # sublane-replicated layout crashes Mosaic's vector-layout pass
-        iiw = iib if wsb is None else (
-            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
-        bi = jnp.int32(0) + k - iiw
-        valid = (iiw < Mb) & (bi >= 0) & (bi < Nb)
-        ih = jnp.where(valid, ih * inv_f2, zero)
-        il = jnp.where(valid, il * inv_f2, zero)
-        if emit_inc:
-            # the k-2 emission reads this slot: it must land before the
-            # overwrite below (the dst index is irrelevant to the wait)
-            pltpu.make_async_copy(gbh.at[_ix(t % 2)], inc_ref.at[_ix(0)],
-                                  isem.at[_ix(6 + t % 2)]).wait()
-        if wsb is None:
-            gbh[t % 2], gbl[t % 2] = ih, il
-        else:
-            gbh[t % 2, :, wsb:wsb + Wb] = ih
-            gbl[t % 2, :, wsb:wsb + Wb] = il
-        if emit_inc:
-            @pl.when(k < n_slots)
-            def _():
-                pltpu.make_async_copy(gbh.at[_ix(t % 2)],
-                                      inc_ref.at[_ix(jnp.int32(0) + k)],
-                                      isem.at[_ix(6 + t % 2)]).start()
 
     if emit_inc:
         # seed the two emission wait-chains (entries are overwritten by
@@ -1657,15 +1703,21 @@ def gen_inc_unshear(incs: jnp.ndarray, B: int, Mb: int, Nb: int, f: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("naive", "dyadic_order", "stack_pad"))
+                   static_argnames=("naive", "dyadic_order", "stack_pad",
+                                    "emit_inc"))
 def solve_final_df_gen_stack(Xp, Yp, sigma, naive: bool = False,
-                             dyadic_order: int = 0, stack_pad: int = 8):
+                             dyadic_order: int = 0, stack_pad: int = 8,
+                             emit_inc: bool = True):
     """Chunked in-kernel-generation solve emitting the hi solution stack
-    AND the hi increment stack (the whole prep + stream pipeline of
-    :func:`solve_final_df_stack` disappears; the backward consumes both).
+    and (``emit_inc``) the hi increment stack (the whole prep + stream
+    pipeline of :func:`solve_final_df_stack` disappears; the backward
+    consumes both). With ``emit_inc=False`` (the gen-adjoint route, which
+    REGENERATES the reverse stream in-kernel) the increment emission and
+    its unshear pass are skipped entirely.
 
-    Returns ``(values (B,), stacks (nc, Tp, P, L), inc_grids (B, Mb, Nb))``.
-    Chunked with the SAME shared chunk as the fused adjoint.
+    Returns ``(values (B,), stacks (nc, Tp, f, P, L)[, inc_grids
+    (B, Mb, Nb)])``. Chunked with the SAME shared chunk as the fused
+    adjoint.
     """
     from .pallas_adjoint import shared_chunk
 
@@ -1677,13 +1729,19 @@ def solve_final_df_gen_stack(Xp, Yp, sigma, naive: bool = False,
 
     def one(args):
         x, y = args
+        if not emit_inc:
+            return _solve_final_one_df_gen(
+                x, y, sigma, naive, dyadic_order, stack_pad=stack_pad)
         val, stk, incs = _solve_final_one_df_gen(
             x, y, sigma, naive, dyadic_order, stack_pad=stack_pad,
             emit_inc=True)
         return val, stk, gen_inc_unshear(incs, x.shape[0], Mb, Nb, f)
 
     if B <= chunk:
-        val, stk, hi = one((Xp, Yp))
+        out = one((Xp, Yp))
+        if not emit_inc:
+            return out[0], out[1][None]
+        val, stk, hi = out
         return val, stk[None], hi
     Bp = ceil_to(B, chunk)
     Xq = jnp.pad(Xp, ((0, Bp - B), (0, 0), (0, 0)))
@@ -1692,7 +1750,10 @@ def solve_final_df_gen_stack(Xp, Yp, sigma, naive: bool = False,
     Yq = jnp.pad(Yp, ((0, Bp - B), (0, 0), (0, 0)))
     Xc = Xq.reshape(Bp // chunk, chunk, M, -1)
     Yc = Yq.reshape(Bp // chunk, chunk, N, -1)
-    val, stk, hi = jax.lax.map(one, (Xc, Yc))
+    out = jax.lax.map(one, (Xc, Yc))
+    if not emit_inc:
+        return out[0].reshape(Bp)[:B], out[1]
+    val, stk, hi = out
     return (val.reshape(Bp)[:B],
             stk,
             hi.reshape(Bp, Mb, Nb)[:B])

@@ -250,14 +250,30 @@ def _rbf_gen(static_kernel, x, y, gram, naive, dyadic_order):
     return vals.reshape((x.shape[0], y.shape[0]) if gram else (x.shape[0],))
 
 
+def _gen_adjoint_on() -> bool:
+    """Backward via the gen adjoint (reverse stream REGENERATED in-kernel:
+    no increment-stack emission in the forward, no unshear/flip/transpose/
+    re-shear XLA passes in the backward)? Default on; SIG_GEN_ADJOINT=0
+    falls back to the streamed planes adjoint."""
+    import os
+    return os.environ.get("SIG_GEN_ADJOINT", "1") != "0"
+
+
 def _rbf_gen_fwd(static_kernel, x, y, gram, naive, dyadic_order):
     from .ops import pallas_adjoint, pallas_df64
 
     Xp, Yp = _expand_pairs(x, y, gram)
+    shape = (x.shape[0], y.shape[0]) if gram else (x.shape[0],)
+    if _gen_adjoint_on():
+        vals, stk = pallas_df64.solve_final_df_gen_stack(
+            Xp, Yp, static_kernel.sigma, naive=naive,
+            dyadic_order=dyadic_order,
+            stack_pad=pallas_adjoint._pad_f_gen(2 ** dyadic_order),
+            emit_inc=False)
+        return vals.reshape(shape), (static_kernel, x, y, stk, None)
     vals, stk, hi = pallas_df64.solve_final_df_gen_stack(
         Xp, Yp, static_kernel.sigma, naive=naive, dyadic_order=dyadic_order,
         stack_pad=pallas_adjoint._pad_f(2 ** dyadic_order))
-    shape = (x.shape[0], y.shape[0]) if gram else (x.shape[0],)
     return vals.reshape(shape), (static_kernel, x, y, stk, hi)
 
 
@@ -266,8 +282,14 @@ def _rbf_gen_bwd(gram, naive, dyadic_order, res, g):
 
     static_kernel, x, y, stk, hi = res
     gf = g.reshape(-1).astype(jnp.float32)
-    ct = pallas_adjoint.adjoint_planes_collapsed(
-        hi, gf, naive=naive, dyadic_order=dyadic_order, fwd_stack=stk)
+    if hi is None:
+        Xp, Yp = _expand_pairs(x, y, gram)
+        ct = pallas_adjoint.adjoint_planes_collapsed_gen(
+            Xp, Yp, static_kernel.sigma, gf, naive=naive,
+            dyadic_order=dyadic_order, fwd_stack=stk)
+    else:
+        ct = pallas_adjoint.adjoint_planes_collapsed(
+            hi, gf, naive=naive, dyadic_order=dyadic_order, fwd_stack=stk)
     ct = ct.reshape(g.shape + ct.shape[-2:])
 
     def inc_fn(sk_, x_, y_):

@@ -175,6 +175,42 @@ def test_adjoint_planes_matches_collapsed(rng, shape, dyadic_order):
     np.testing.assert_allclose(got, want, atol=2e-5 * scale, rtol=0)
 
 
+@pytest.mark.parametrize("dims,dyadic_order",
+                         [((3, 8, 8), 1), ((2, 9, 6), 1), ((1, 6, 9), 2)])
+def test_adjoint_planes_gen_matches_streamed(rng, dims, dyadic_order):
+    """IN-KERNEL reverse-stream generation adjoint vs the streamed planes
+    adjoint: the generated reverse diagonals are bit-identical to the
+    transposed+flipped forward increments (DF add/mul commutativity), and
+    the consumption math is the same plane-split step, so the cotangents
+    must agree to f32 association-order level (same addends)."""
+    from sigkernel_tpu.ops import pallas_adjoint, pallas_df64
+
+    B, M, N = dims
+    f = 2 ** dyadic_order
+    sigma = 0.9
+    Xp = jnp.asarray(rng.normal(size=(B, M, 3)).cumsum(1) * 0.1)
+    Yp = jnp.asarray(rng.normal(size=(B, N, 3)).cumsum(1) * 0.1)
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+
+    # streamed reference: gen forward emitting increments + pl-pad stack
+    _, stk_s, hig = pallas_df64.solve_final_df_gen_stack(
+        Xp, Yp, sigma, False, dyadic_order,
+        stack_pad=pallas_adjoint._pad_f(f))
+    want = np.asarray(pallas_adjoint.adjoint_planes_collapsed(
+        jnp.asarray(hig), g, False, dyadic_order, fwd_stack=stk_s))
+
+    # gen adjoint: gen-pad stack, reverse stream regenerated in-kernel
+    _, stk_g = pallas_df64._solve_final_one_df_gen(
+        Xp, Yp, sigma, False, dyadic_order,
+        stack_pad=pallas_adjoint._pad_f_gen(f))
+    got = np.asarray(pallas_adjoint.adjoint_planes_collapsed_gen(
+        Xp, Yp, sigma, g, False, dyadic_order, fwd_stack=stk_g[None]))
+
+    assert got.shape == want.shape
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got, want, atol=2e-6 * scale, rtol=0)
+
+
 @pytest.mark.parametrize("dyadic_order", [1])
 def test_solve_bwd_planes_without_stack(rng, monkeypatch, dyadic_order):
     """The planes route must recompute the forward stack when the caller
