@@ -73,6 +73,59 @@ def cosine_normalise(G_tr, G_te, d_te):
     return G_tr / np.outer(d, d), G_te / np.outer(dte, d)
 
 
+def _gak_log_gram(Xa, Xb, sigma, chunk=4096):
+    """Log-space global-alignment-kernel Gram (Cuturi 2011), numpy.
+
+    The reference notebook's GAK column uses ``tslearn.metrics.cdist_gak``
+    (reference examples/bitcoin_predictions.ipynb, gak cells); this is the
+    same DP -- ``M[i,j] = kappa(i,j) (M[i-1,j] + M[i,j-1] + M[i-1,j-1])``
+    with the half-Gaussian local kernel ``kappa = k/(2-k)`` -- run in log
+    space and vectorised over path pairs, so the column exists without the
+    tslearn dependency. Returns ``log K`` of shape ``(A, B)``.
+    """
+    A, B = len(Xa), len(Xb)
+    L = Xa.shape[1]
+    ii, jj = np.meshgrid(np.arange(A), np.arange(B), indexing="ij")
+    pairs = np.stack([ii.ravel(), jj.ravel()], axis=1)
+    out = np.empty(A * B)
+    for s in range(0, len(pairs), chunk):
+        pa, pb = pairs[s:s + chunk, 0], pairs[s:s + chunk, 1]
+        d2 = (Xa[pa][:, :, None] - Xb[pb][:, None, :]) ** 2  # (P, L, L)
+        logk = -d2 / (2.0 * sigma ** 2)
+        logkap = logk - np.log(2.0 - np.exp(logk))
+        P = len(pa)
+        prev2 = np.full((P, L + 1), -np.inf)  # row i-1 of the DP table
+        prev2[:, 0] = 0.0                     # virtual start M[0,0] = 1
+        for i in range(1, L + 1):
+            cur = np.full((P, L + 1), -np.inf)
+            for j in range(1, L + 1):
+                m = np.logaddexp(np.logaddexp(prev2[:, j], cur[:, j - 1]),
+                                 prev2[:, j - 1])
+                cur[:, j] = logkap[:, i - 1, j - 1] + m
+            prev2 = cur
+        out[s:s + chunk] = prev2[:, L]
+    return out.reshape(A, B)
+
+
+def gak_grams(X_tr, X_te, sigma):
+    """Unit-diagonal GAK train/test Grams (tslearn if present, else numpy)."""
+    try:
+        from tslearn.metrics import cdist_gak
+
+        # cdist_gak returns unit-diagonal (normalised) Grams already
+        G_tr = cdist_gak(X_tr[:, :, None], sigma=sigma)
+        G_te = cdist_gak(X_te[:, :, None], X_tr[:, :, None], sigma=sigma)
+        return G_tr, G_te
+    except ImportError:
+        lg_tr = _gak_log_gram(X_tr, X_tr, sigma)
+        lg_te = _gak_log_gram(X_te, X_tr, sigma)
+        lg_dte = np.diag(_gak_log_gram(X_te, X_te, sigma))
+        d_tr = np.diag(lg_tr)
+        G_tr = np.exp(lg_tr - 0.5 * (d_tr[:, None] + d_tr[None, :]))
+        G_te = np.exp(lg_te - 0.5 * (lg_dte[:, None] + d_tr[None, :]))
+        return G_tr, G_te
+
+
 def main():
     from sklearn.svm import SVR
     from sklearn.model_selection import GridSearchCV
@@ -135,6 +188,20 @@ def main():
     m = GridSearchCV(SVR(kernel="precomputed"), svr_grid, cv=3)
     m.fit(K_tr, y_tr)
     results["rbf"] = mape(y_te, m.predict(K_te))
+
+    # --- global alignment kernel (reference notebook's gak column) ----------
+    # sigma grid around the Cuturi heuristic (data scale * sqrt(L))
+    s0 = max(np.std(X_tr) * np.sqrt(X_tr.shape[1]), 1e-3)
+    best = None
+    for gsig in [0.1 * s0, s0, 5.0 * s0]:
+        K_tr, K_te = gak_grams(X_tr, X_te, sigma=gsig)
+        m = GridSearchCV(SVR(kernel="precomputed"), svr_grid, cv=3)
+        m.fit(K_tr, y_tr)
+        if best is None or m.best_score_ > best[0]:
+            best = (m.best_score_, m, K_te, gsig)
+    _, m, K_te, gsig = best
+    results["gak"] = mape(y_te, m.predict(K_te))
+    print(f"gak selected sigma={gsig:g}")
 
     # --- truncated signature kernel ------------------------------------------
     T_tr = sk.truncated_sig_kernel(paths_tr, paths_tr, num_levels=4)
