@@ -161,62 +161,10 @@ if MODE == "wprobe":
               f"(t2={t2:.1f} t6={t6:.1f})", flush=True)
 
 if MODE == "dil":
-    # Base-lane streams + in-kernel dilation: value A/B (must be
-    # bit-equal), adjoint A/B, and slope timings of kernel + construction.
-    import sigkernel_tpu.ops.pallas_solver as ps
+    print("dil mode removed: base-lane streams were deleted in round 4 "
+          "(no dilation spelling lowers on Mosaic; scripts/dilate_probe.py)",
+          flush=True)
 
-    def set_bl(v):
-        # the flag is read at TRACE time: every toggle must drop the jit
-        # caches or the old executable is silently reused
-        ps.BASE_LANES = v
-        pallas_df64.BASE_LANES = v
-        jax.clear_caches()
-
-    set_bl(False)
-    vfull = np.asarray(val_only(hi, lo, 256))
-    set_bl(True)
-    vdil = np.asarray(val_only(hi, lo, 256))
-    bit = np.array_equal(vdil, vfull)
-    print(f"{'D1. base-lane values bit-equal':44s} {'OK ' if bit else 'BAD'}"
-          f" maxdiff={np.max(np.abs(vdil - vfull)):.3e}", flush=True)
-    if not bit:
-        FAIL.append("dil-values")
-
-    @functools.partial(jax.jit, static_argnames=())
-    def _ct2(h, l, gv):
-        v, s = pallas_df64._solve_final_one_df(h, l, False, dy,
-                                               stack_pad=_pad_f(f))
-        return pallas_adjoint.adjoint_fused_collapsed(
-            h, gv, naive=False, dyadic_order=dy, fwd_stack=s[None])
-
-    set_bl(False)
-    ctf = np.asarray(_ct2(hi, lo, g))
-    set_bl(True)
-    ctd = np.asarray(_ct2(hi, lo, g))
-    scale = max(float(np.max(np.abs(ctf))), 1e-30)
-    err = float(np.max(np.abs(ctd - ctf)) / scale)
-    ok = err < 1e-6 and np.isfinite(ctd).all()
-    print(f"{'D2. base-lane adjoint cotangent':44s} {'OK ' if ok else 'BAD'}"
-          f" scaled_err={err:.3e}", flush=True)
-    if not ok:
-        FAIL.append("dil-cotangent")
-
-    # slope timings: kernel alone and full stream construction
-    for bl in (False, True):
-        set_bl(bl)
-        ms, t2, t6 = slope(lambda h, l: pallas_df64._solve_final_one_df(
-            h, l, False, dy, window_seg=256))
-        print(f"D3. fwd kernel+streams bl={int(bl)}: {ms:7.2f} ms/iter "
-              f"(t2={t2:.1f} t6={t6:.1f})", flush=True)
-
-        def cons(h, l):
-            skh, skl, *_ = pallas_df64._pad_skew_components(
-                h, l, dy, base_lanes=bl)
-            return skh[::97].sum() + skl[::97].sum()
-        ms, t2, t6 = slope(cons)
-        print(f"D4. stream construction bl={int(bl)}: {ms:7.2f} ms/iter "
-              f"(t2={t2:.1f} t6={t6:.1f})", flush=True)
-    set_bl(True)
 
 if MODE == "dma":
     # Retest DMA batch size with honest slope timing (the round-2 "flat in

@@ -35,7 +35,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_solver import (LANES, MAX_ROWS, IN_OFF, WINDOW_SEG, BASE_LANES,
+from .pallas_solver import (LANES, MAX_ROWS, IN_OFF, WINDOW_SEG,
                             _ix, _maybe_transpose, _pad_shear, _layout,
                             _chunk_map, _extract_final, _stack_to_grid,
                             _window_phases)
@@ -245,7 +245,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                          sh_ref, sl_ref, ibh, ibl, isem, carryh, carryl,
                          ckbuf=None, *, n_steps, MM, row_axis, naive,
                          grid_out, out_offset=0, refine=1, hi_stack=False,
-                         ckpt_c=0, NN=None, window_seg=0, base_lanes=False,
+                         ckpt_c=0, NN=None, window_seg=0,
                          forced_phases=None):
     """Double-double wavefront; ``refine > 1`` consumes the row-stretched
     base stream (select + roll per step; see
@@ -415,25 +415,7 @@ def _wavefront_df_kernel(inch_hbm, incl_hbm, outh_ref, outl_ref, stk_ref,
                 return pl.when(q < n_steps)
             return lambda fn: fn()
 
-        if base_lanes:
-            # streams are BASE lane width: slice the base window, then
-            # lane-dilate (y[i] = x[i//f]; jnp.repeat lowers to a cheap
-            # Mosaic interleave). ws/W are 128-aligned and f | 128.
-            if ws is None:
-                def ld(ref, bslot, t):
-                    return jnp.repeat(ref[bslot, t], f, axis=1)
-
-                def ldc(ref):
-                    return jnp.repeat(ref[0], f, axis=1)
-            else:
-                def ld(ref, bslot, t):
-                    return jnp.repeat(
-                        ref[bslot, t, :, ws // f:(ws + W) // f], f, axis=1)
-
-                def ldc(ref):
-                    return jnp.repeat(
-                        ref[0, :, ws // f:(ws + W) // f], f, axis=1)
-        elif ws is None:
+        if ws is None:
             def ld(ref, bslot, t):
                 return ref[bslot, t]
 
@@ -1281,16 +1263,14 @@ def _split_hi_lo(x64: jnp.ndarray):
 
 
 def _pad_skew_components(hi: jnp.ndarray, lo: jnp.ndarray,
-                         dyadic_order: int = 0, base_lanes: bool = False):
+                         dyadic_order: int = 0):
     """f32 hi/lo base components -> streams + geometry.
 
-    Returns ``(skh, skl, n_steps, row_axis, slab, f, dilate)``. With
+    Returns ``(skh, skl, n_steps, row_axis, slab, f)``. With
     ``dyadic_order > 0`` the streams are row-stretched *base* streams
     (offset 0, f^2 x less HBM, no refine passes -- measured to dominate the
     old pipeline); components are pre-scaled by the exact power of two
-    ``1/f^2``. With ``base_lanes`` (aligned geometry, f > 1) the streams
-    additionally stay at BASE lane width (f x less stream HBM again;
-    ``dilate=True`` tells the kernel to lane-dilate on load).
+    ``1/f^2``.
     """
     from .pallas_solver import (_layout, _stretch_stream, _aligned_streams_ps,
                                 _use_aligned)
@@ -1301,21 +1281,18 @@ def _pad_skew_components(hi: jnp.ndarray, lo: jnp.ndarray,
     if f == 1:
         if _use_aligned(B, slab, row_axis):
             skh, skl = _aligned_streams_ps([hi, lo], 1, DMA_BATCH, slab)
-            return skh, skl, Mb + Nb - 1, row_axis, slab, 1, False
+            return skh, skl, Mb + Nb - 1, row_axis, slab, 1
         skh, n_steps, row_axis, slab = _pad_shear(hi, DMA_BATCH)
         skl, _, _, _ = _pad_shear(lo, DMA_BATCH)
-        return skh, skl, n_steps, row_axis, slab, f, False
+        return skh, skl, n_steps, row_axis, slab, f
     s = jnp.float32(1.0 / (f * f))
     if _use_aligned(B, slab, row_axis):
-        skh, skl = _aligned_streams_ps([hi * s, lo * s], f, DMA_BATCH, slab,
-                                       stretch=not base_lanes)
-        dil = bool(base_lanes)
+        skh, skl = _aligned_streams_ps([hi * s, lo * s], f, DMA_BATCH, slab)
     else:
         skh = _stretch_stream(hi * s, f, DMA_BATCH, row_axis, slab)
         skl = _stretch_stream(lo * s, f, DMA_BATCH, row_axis, slab)
-        dil = False
     n_steps = Mb * f + Nb * f - 1
-    return skh, skl, n_steps, row_axis, slab, f, dil
+    return skh, skl, n_steps, row_axis, slab, f
 
 
 def _pad_skew_df(inc: jnp.ndarray, dyadic_order: int = 0):
@@ -1325,21 +1302,19 @@ def _pad_skew_df(inc: jnp.ndarray, dyadic_order: int = 0):
     per base cell); refinement happens in-kernel.
     """
     hi, lo = _split_hi_lo(inc)
-    return _pad_skew_components(hi, lo, dyadic_order)[:6]
+    return _pad_skew_components(hi, lo, dyadic_order)
 
 
-def _df_scratch(slab, ckpt=False, stream_slab=None):
-    """Kernel scratch: states, DMA landing buffers (``stream_slab`` may be
-    base-lane-width when the kernel dilates on load), semaphores, carries."""
-    sslab = slab if stream_slab is None else stream_slab
+def _df_scratch(slab, ckpt=False):
+    """Kernel scratch: states, DMA landing buffers, semaphores, carries."""
     base = [
         pltpu.VMEM((2,) + slab, jnp.float32),
         pltpu.VMEM((2,) + slab, jnp.float32),
-        pltpu.VMEM((2, DMA_BATCH) + sslab, jnp.float32),
-        pltpu.VMEM((2, DMA_BATCH) + sslab, jnp.float32),
+        pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
+        pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
         pltpu.SemaphoreType.DMA((8,)),
-        pltpu.VMEM((1,) + sslab, jnp.float32),
-        pltpu.VMEM((1,) + sslab, jnp.float32),
+        pltpu.VMEM((1,) + slab, jnp.float32),
+        pltpu.VMEM((1,) + slab, jnp.float32),
     ]
     if ckpt:
         base.append(pltpu.VMEM((2,) + slab, jnp.float32))
@@ -1360,8 +1335,8 @@ def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
 
     assert not (ckpt and stack_pad is not None)
     B = hi3.shape[0]
-    skh, skl, n_steps, row_axis, slab, f, dil = _pad_skew_components(
-        hi3, lo3, dyadic_order, base_lanes=BASE_LANES)
+    skh, skl, n_steps, row_axis, slab, f = _pad_skew_components(
+        hi3, lo3, dyadic_order)
     MM = hi3.shape[-2] * f
     hi_stack = stack_pad is not None
     ckpt_c = ATB * f if ckpt else 0
@@ -1382,7 +1357,7 @@ def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
                                ckpt_c=ckpt_c, NN=hi3.shape[-1] * f,
                                window_seg=(WINDOW_SEG if window_seg is None
                                            else window_seg),
-                               base_lanes=dil, forced_phases=forced_phases)
+                               forced_phases=forced_phases)
     outh, outl, stk = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct(slab, jnp.float32),
@@ -1392,9 +1367,7 @@ def _solve_final_one_df(hi3: jnp.ndarray, lo3: jnp.ndarray, naive: bool,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    stk_spec),
-        scratch_shapes=_df_scratch(
-            slab, ckpt=ckpt,
-            stream_slab=skh.shape[1:] if dil else None),
+        scratch_shapes=_df_scratch(slab, ckpt=ckpt),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=110 * 1024 * 1024),
     )(skh, skl)

@@ -47,10 +47,6 @@ MAX_ROWS = 8192
 # _window_phases); 0 disables windowed compute.
 import os as _os
 WINDOW_SEG = int(_os.environ.get("SIG_WINDOW_SEG", "256"))
-# Base-lane streams (f > 1, aligned geometry): keep increment streams at
-# base lane width and dilate in-kernel (f x less stream HBM + two
-# construction passes on f x less data). See _aligned_streams_ps(stretch=).
-BASE_LANES = bool(int(_os.environ.get("SIG_BASE_LANES", "0")))
 # batch threshold between the two slab layouts: up to 128 pairs ride the
 # sublane axis -- a (128, L) slab keeps the whole fused-adjoint stack
 # machinery (pairs-on-sublanes only) AND makes the aligned pairs-minor
@@ -118,8 +114,7 @@ IN_OFF = 1
 
 def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                       *, n_steps, MM, row_axis, naive, grid_out,
-                      out_offset=0, refine=1, NN=None, window_seg=0,
-                      base_lanes=False):
+                      out_offset=0, refine=1, NN=None, window_seg=0):
     """Single-program wavefront sweep over slabs of shape ``state.shape[1:]``.
 
     ``row_axis``: which slab axis carries the diagonal row index ``i``
@@ -226,24 +221,7 @@ def _wavefront_kernel(inc_hbm, out_ref, state, ibuf, isem, carry,
                 return pl.when(q < n_steps)
             return lambda fn: fn()
 
-        if base_lanes:
-            # base-lane-width streams: slice the base window, lane-dilate
-            # on load (y[i] = x[i//f]; cheap Mosaic interleave)
-            if ws is None:
-                def ld(bslot, t):
-                    return jnp.repeat(ibuf[bslot, t], f, axis=1)
-
-                def ldc():
-                    return jnp.repeat(carry[0], f, axis=1)
-            else:
-                def ld(bslot, t):
-                    return jnp.repeat(
-                        ibuf[bslot, t, :, ws // f:(ws + W) // f], f, axis=1)
-
-                def ldc():
-                    return jnp.repeat(
-                        carry[0, :, ws // f:(ws + W) // f], f, axis=1)
-        elif ws is None:
+        if ws is None:
             def ld(bslot, t):
                 return ibuf[bslot, t]
 
@@ -654,15 +632,15 @@ def _base_stream(base3: jnp.ndarray, dma_batch: int, P_dim: int, Lb: int,
     return jnp.transpose(Sb, (2, 0, 1))  # (W, P, Lb)
 
 
-def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int,
-                     base_lanes: bool = False):
+def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int):
     """Stream + slab geometry for a solve at ``dyadic_order``.
 
-    Returns ``(sk, n_steps, row_axis, slab, f, dilate)``: with ``f > 1``
-    the stream is the row-stretched base stream (offset 0, ``f^2``x
-    smaller); with ``f == 1`` the plain refined stream (step ``q`` at
-    ``q+IN_OFF``). ``base_lanes``: aligned f > 1 streams stay at base lane
-    width (``dilate=True``; the kernel lane-dilates on load).
+    Returns ``(sk, n_steps, row_axis, slab, f)``: with ``f > 1`` the stream
+    is the row-stretched base stream (offset 0, ``f^2``x smaller); with
+    ``f == 1`` the plain refined stream (step ``q`` at ``q+IN_OFF``).
+    (A base-lane-width stream variant with in-kernel lane dilation was
+    probed and killed in round 3: no dilation spelling lowers on Mosaic --
+    scripts/dilate_probe.py.)
     """
     f = 2 ** dyadic_order
     B, Mb, Nb = inc3.shape
@@ -671,32 +649,29 @@ def _stream_geometry(inc3: jnp.ndarray, dyadic_order: int, dma_batch: int,
         if _use_aligned(B, slab, row_axis):
             (sk,) = _aligned_streams_ps([inc3.astype(jnp.float32)], 1,
                                         dma_batch, slab)
-            return sk, Mb + Nb - 1, row_axis, slab, 1, False
+            return sk, Mb + Nb - 1, row_axis, slab, 1
         sk, n_steps, row_axis, slab = _pad_shear(inc3, dma_batch)
-        return sk, n_steps, row_axis, slab, f, False
+        return sk, n_steps, row_axis, slab, f
     MM, NN = Mb * f, Nb * f
     row_axis, slab, _ = _layout(B, MM)
     base = inc3.astype(jnp.float32) * jnp.float32(1.0 / (f * f))  # exact
     if _use_aligned(B, slab, row_axis):
-        (sk,) = _aligned_streams_ps([base], f, dma_batch, slab,
-                                    stretch=not base_lanes)
-        return sk, MM + NN - 1, row_axis, slab, f, bool(base_lanes)
+        (sk,) = _aligned_streams_ps([base], f, dma_batch, slab)
+        return sk, MM + NN - 1, row_axis, slab, f
     sk = _stretch_stream(base, f, dma_batch, row_axis, slab)
-    return sk, MM + NN - 1, row_axis, slab, f, False
+    return sk, MM + NN - 1, row_axis, slab, f
 
 
 def _solve_final_one(inc3: jnp.ndarray, naive: bool,
                      dyadic_order: int = 0) -> jnp.ndarray:
     B = inc3.shape[0]
-    sk, n_steps, row_axis, slab, f, dil = _stream_geometry(
-        inc3, dyadic_order, DMA_BATCH, base_lanes=BASE_LANES)
+    sk, n_steps, row_axis, slab, f = _stream_geometry(
+        inc3, dyadic_order, DMA_BATCH)
     MM = inc3.shape[-2] * f
-    sslab = sk.shape[1:] if dil else slab
     kernel = functools.partial(_wavefront_kernel, n_steps=n_steps, MM=MM,
                                row_axis=row_axis, naive=naive,
                                grid_out=False, refine=f,
-                               NN=inc3.shape[-1] * f, window_seg=WINDOW_SEG,
-                               base_lanes=dil)
+                               NN=inc3.shape[-1] * f, window_seg=WINDOW_SEG)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(slab, jnp.float32),
@@ -704,9 +679,9 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2,) + slab, jnp.float32),
-            pltpu.VMEM((2, DMA_BATCH) + sslab, jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH) + slab, jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
-            pltpu.VMEM((1,) + sslab, jnp.float32),
+            pltpu.VMEM((1,) + slab, jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -717,7 +692,7 @@ def _solve_final_one(inc3: jnp.ndarray, naive: bool,
 def _solve_grid_one(inc3: jnp.ndarray, naive: bool,
                     dyadic_order: int = 0) -> jnp.ndarray:
     B = inc3.shape[0]
-    sk, n_steps, row_axis, slab, f, _ = _stream_geometry(
+    sk, n_steps, row_axis, slab, f = _stream_geometry(
         inc3, dyadic_order, DMA_BATCH)
     MM, NN = inc3.shape[-2] * f, inc3.shape[-1] * f
     # aligned output extent (the fast unshear transposes it to minor), with
@@ -992,7 +967,7 @@ def _solve_stack_one(inc3: jnp.ndarray, naive: bool,
     fused adjoint's descending window loads need headroom; entry ``q``
     lands at stack position ``q + out_pad``)."""
     B = inc3.shape[0]
-    sk, n_steps, row_axis, slab, f, _ = _stream_geometry(
+    sk, n_steps, row_axis, slab, f = _stream_geometry(
         inc3, dyadic_order, DMA_BATCH)
     MM = inc3.shape[-2] * f
     Tp = ceil_to(n_steps + 2, LANES)

@@ -1,0 +1,168 @@
+"""Single route-resolution point for every differentiable solve.
+
+The library has three dispatch layers -- the estimator *family* (which
+primitive ``sig_kernel``/``sig_gram`` call per tile), the forward *stack*
+decision (what the custom_vjp forward emits as residuals), and the
+*backward* route (which adjoint consumes them). Before round 4 these
+predicates were scattered across ``sigkernel.py`` and ``solve.py`` and
+recomputed independently in fwd and bwd, which had to agree exactly.  Now
+both halves of every ``custom_vjp`` call ONE resolver here, so agreement
+holds by construction, and the whole route matrix is enumerable for tests
+(tests/test_routes.py).
+
+The resolvers intentionally *consult the gate helpers through the solve
+module object* (``S._f32_planes_gate`` etc.) so tests can monkeypatch a
+single gate and steer the route.
+
+Environment flags (the complete set; mirrored in docs/ARCHITECTURE.md):
+
+=====================  =======  ==================================================
+flag                   default  effect
+=====================  =======  ==================================================
+SIG_PLANES             1        plane-split kernels (refined lanes as f base-width
+                                planes). 0 falls back to stretched-width streams.
+SIG_INKERNEL_GEN       1        in-kernel RBF increment *generation* (paths in,
+                                values out; no increment grid in HBM). 0 keeps the
+                                df-prep + stream pipeline.
+SIG_GEN_ADJOINT        1        backward regenerates the reverse increment stream
+                                in-kernel. 0 falls back to the streamed planes
+                                adjoint (forward must emit the increment stack).
+SIG_COLLAPSE_COMPACT   0        collapse adjoint emits lane-compacted cotangent
+                                diagonals (f x smaller stack, extra in-kernel
+                                shuffle; measured neutral at bench size).
+SIG_WINDOW_SEG         256      diagonal steps per lane-window phase of the
+                                wavefront kernels; 0 disables windowed compute.
+SIG_CKPT_STACK_BYTES   derived  residual-stack HBM budget gate (full stack vs
+                                sparse checkpoint); default 5/16 of device HBM.
+=====================  =======  ==================================================
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+
+
+class IncRoute(NamedTuple):
+    """Route for the increment-grid custom_vjp (``solve.solve``)."""
+    tier: str                  # 'pallas' | 'pallas_df64' | 'pallas_blocked' | 'scan'
+    fwd_stack: Optional[str]   # 'planes' | 'full' | None
+    bwd: str                   # 'planes' | 'fused' | 'striped' | 'grid'
+    warn: Optional[str] = None
+
+
+class DfRoute(NamedTuple):
+    """Route for the double-float custom_vjp (``solve.solve_df``)."""
+    fwd_stack: Optional[str]   # 'planes' | 'ckpt' | 'full' | None
+    bwd: str                   # 'planes' | 'ckpt' | 'fused' | 'striped' | 'grid'
+
+
+def resolve_inc_route(inc, solver: str, dyadic_order: int,
+                      grad_solver: str) -> IncRoute:
+    """Resolve tier + stack + adjoint for an increment-grid solve.
+
+    ``inc`` may be a concrete array or ShapeDtypeStruct: only static shape
+    and dtype are consulted (the decision must be identical at fwd and bwd
+    trace time).
+    """
+    from . import solve as S
+
+    s = S._resolve(solver, inc, dyadic_order)
+    if s == "pallas":
+        if S._f32_planes_gate(inc, dyadic_order):
+            return IncRoute("pallas", "planes", "planes")
+        if S._f32_stack_gate(inc, dyadic_order):
+            return IncRoute("pallas", "full", "fused")
+        return IncRoute("pallas", None, "fused")
+    if s == "pallas_df64":
+        # backward precision follows input precision unless opted down:
+        # 'auto' on the df64 tier means f64-grade increments
+        if grad_solver in ("auto", "df64"):
+            return IncRoute("pallas_df64", None, "grid")
+        return IncRoute("pallas_df64", None, "fused")
+    if s == "pallas_blocked":
+        if grad_solver == "df64" and inc.dtype == jnp.float64:
+            # explicit full-precision demand: grid route (may exhaust
+            # memory at blocked sizes -- the user asked)
+            return IncRoute("pallas_blocked", None, "grid")
+        warn = None
+        if inc.dtype == jnp.float64 and grad_solver == "auto":
+            warn = (
+                "sigkernel_tpu: f64 increments on the blocked (beyond-VMEM) "
+                "solver get the f32-grade striped adjoint; pass "
+                "grad_solver='f32' to acknowledge, or grad_solver='df64' to "
+                "force the full-precision grid route (may exhaust memory at "
+                "blocked sizes)")
+        return IncRoute("pallas_blocked", None, "striped", warn)
+    return IncRoute("scan", None, "grid")
+
+
+def resolve_df_route(hi, dyadic_order: int) -> DfRoute:
+    """Resolve stack + adjoint for a double-float (hi/lo) solve."""
+    import jax
+
+    from . import solve as S
+    from . import pallas_blocked
+
+    if S._df_planes_gate(hi, dyadic_order):
+        return DfRoute("planes", "planes")
+    if S._df_ckpt_gate(hi, dyadic_order):
+        return DfRoute("ckpt", "ckpt")
+    if S._df_stack_gate(hi, dyadic_order):
+        return DfRoute("full", "fused")
+    if S._df_supported(hi, dyadic_order):
+        return DfRoute(None, "fused")
+    f = 2 ** dyadic_order
+    probe = jax.ShapeDtypeStruct(
+        hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
+    if pallas_blocked.supported(probe):
+        return DfRoute(None, "striped")
+    return DfRoute(None, "grid")
+
+
+# ---------------------------------------------------------------------------
+# Estimator-family resolution (which primitive sig_kernel/sig_gram call)
+# ---------------------------------------------------------------------------
+
+_FAMILIES = ("fused", "gen32", "gen", "df", "df_hybrid", "inc")
+
+
+def resolve_family(static_kernel, x, y, solver: str, grad_solver: str,
+                   dyadic_order: int, gram: bool) -> str:
+    """Which top-level differentiable primitive should this tile use?
+
+    - ``'fused'``: in-kernel increment forward for f32 inputs
+      (:func:`..sigkernel._pair_fused`).
+    - ``'gen32'``: matched-precision f32 in-kernel generation fwd+bwd
+      (:func:`..sigkernel._rbf_gen32`) -- the fastest tier on a chip with
+      no f64 units; f32 inputs only.
+    - ``'gen'``: in-kernel increment *generation*, df64-grade forward +
+      f32-grade gen/planes adjoint (:func:`..sigkernel._rbf_gen`).
+    - ``'df'``: paired-f32 increments through :func:`.solve.solve_df`
+      (f32-grade backward).
+    - ``'df_hybrid'``: df forward value + recomputed f64-grade backward --
+      the honest default for f64 inputs (:func:`..sigkernel._df_hybrid`).
+    - ``'inc'``: plain increment grid through :func:`.solve.solve`.
+
+    Resolution happens per *tile* (post-``max_batch`` chunking): the gen /
+    planes geometry gates depend on tile shapes.
+    """
+    from .. import sigkernel as K
+
+    if solver == "fused":
+        return "fused"
+    if (solver == "auto" and grad_solver != "df64"
+            and x.dtype == jnp.float32
+            and K._gen32_route(static_kernel, x, y, dyadic_order, gram)):
+        return "gen32"
+    if K._fused_auto(static_kernel, x, y, solver, grad_solver,
+                     dyadic_order):
+        return "fused"
+    if not K._df_route(static_kernel, x, solver, grad_solver):
+        return "inc"
+    if grad_solver != "f32":
+        return "df_hybrid"
+    if K._gen_route(static_kernel, x, y, dyadic_order, need_grad=True,
+                    gram=gram):
+        return "gen"
+    return "df"

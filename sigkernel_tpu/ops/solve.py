@@ -192,13 +192,13 @@ def _full_stack_bytes(B, Mb, Nb, f):
 def _f32_stack_gate(inc, dyadic_order: int) -> bool:
     """Share the f32 forward's diagonal stack with the fused adjoint?
     Needs the stack-shareable geometry and the residual capacity budget
-    (see CKPT_STACK_BYTES); static decision."""
+    (see ckpt_stack_bytes); static decision."""
     from . import pallas_adjoint
 
     B, Mb, Nb = inc.shape
     f = 2 ** dyadic_order
     return (pallas_adjoint.stack_shareable(B, Mb, Nb, dyadic_order)
-            and _full_stack_bytes(B, Mb, Nb, f) <= CKPT_STACK_BYTES)
+            and _full_stack_bytes(B, Mb, Nb, f) <= ckpt_stack_bytes())
 
 
 def _f32_planes_gate(inc, dyadic_order: int) -> bool:
@@ -210,18 +210,20 @@ def _f32_planes_gate(inc, dyadic_order: int) -> bool:
     B, Mb, Nb = inc.shape
     f = 2 ** dyadic_order
     return (pallas_adjoint.planes_adj_ok(min(B, 128), Mb, Nb, dyadic_order)
-            and _full_stack_bytes(B, Mb, Nb, f) <= CKPT_STACK_BYTES)
+            and _full_stack_bytes(B, Mb, Nb, f) <= ckpt_stack_bytes())
 
 
 def _solve_fwd(inc, naive, solver, dyadic_order, grad_solver):
-    s = _resolve(solver, inc, dyadic_order)
-    if s == "pallas" and _f32_planes_gate(inc, dyadic_order):
+    from .routes import resolve_inc_route
+
+    r = resolve_inc_route(inc, solver, dyadic_order, grad_solver)
+    if r.fwd_stack == "planes":
         from . import pallas_adjoint
 
         val, stk = pallas_adjoint.solve_final_f32_stack_pl(inc, naive,
                                                            dyadic_order)
         return val, (inc, stk)
-    if s == "pallas" and _f32_stack_gate(inc, dyadic_order):
+    if r.fwd_stack == "full":
         from . import pallas_adjoint
 
         val, stk = pallas_adjoint.solve_final_f32_stack(inc, naive,
@@ -248,28 +250,23 @@ def _grid_route_bwd(inc, g, naive, solver, dyadic_order):
 
 def _solve_bwd(naive, solver, dyadic_order, grad_solver, res, g):
     from . import pallas_adjoint
+    from .routes import resolve_inc_route
 
     inc, fstk = res
-    s = _resolve(solver, inc, dyadic_order)
-    # the f64-grade route is taken when forced ("df64") or when "auto" sees
-    # f64-grade increments (the pallas_df64 tier): backward precision
-    # follows the input precision unless the user opts down with "f32"
-    want_f64_grade = (grad_solver == "df64"
-                      or (grad_solver == "auto" and s == "pallas_df64"))
-    if s in ("pallas", "pallas_df64") and not (
-            s == "pallas_df64" and want_f64_grade):
-        if s == "pallas" and _f32_planes_gate(inc, dyadic_order):
-            # plane-split stack-sharing route (the fwd emitted a
-            # plane-layout stack); callers without a shared stack (e.g.
-            # the fused route's backward, which recomputes increments)
-            # re-run the stack-emitting forward here
-            if fstk is None:
-                _, fstk = pallas_adjoint.solve_final_f32_stack_pl(
-                    inc, naive, dyadic_order)
-            ct = pallas_adjoint.adjoint_planes_collapsed(
-                inc, g, naive=naive, dyadic_order=dyadic_order,
-                fwd_stack=fstk)
-            return (ct.astype(inc.dtype),)
+    r = resolve_inc_route(inc, solver, dyadic_order, grad_solver)
+    if r.bwd == "planes":
+        # plane-split stack-sharing route (the fwd emitted a plane-layout
+        # stack); callers without a shared stack (e.g. the fused route's
+        # backward, which recomputes increments) re-run the stack-emitting
+        # forward here
+        if fstk is None:
+            _, fstk = pallas_adjoint.solve_final_f32_stack_pl(
+                inc, naive, dyadic_order)
+        ct = pallas_adjoint.adjoint_planes_collapsed(
+            inc, g, naive=naive, dyadic_order=dyadic_order,
+            fwd_stack=fstk)
+        return (ct.astype(inc.dtype),)
+    if r.bwd == "fused":
         # fused adjoint: the reverse sweep multiplies the forward stack
         # in-flight and collapses the cotangent to base resolution
         # in-kernel (falls back to the sheared-space adjoint_dd for
@@ -277,23 +274,17 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, res, g):
         # module doc
         ct = pallas_adjoint.adjoint_fused_collapsed(
             inc, g, naive=naive, dyadic_order=dyadic_order,
-            fwd_stack=fstk if s == "pallas" else None)
+            fwd_stack=fstk)
         return (ct.astype(inc.dtype),)
-    if s == "pallas_blocked" and not (grad_solver == "df64"
-                                      and inc.dtype == jnp.float64):
-        if inc.dtype == jnp.float64 and grad_solver == "auto":
+    if r.bwd == "striped":
+        if r.warn:
             # beyond-VMEM grids have no f64-grade adjoint tier; an f64
             # fallback would materialise the full refined grid on the scan
             # tier (typically OOM at these sizes), so warn instead of
             # silently matching neither choice
             import warnings
 
-            warnings.warn(
-                "sigkernel_tpu: f64 increments on the blocked (beyond-VMEM) "
-                "solver get the f32-grade striped adjoint; pass "
-                "grad_solver='f32' to acknowledge, or grad_solver='df64' to "
-                "force the full-precision grid route (may exhaust memory at "
-                "blocked sizes)", stacklevel=2)
+            warnings.warn(r.warn, stacklevel=2)
         # striped adjoint: stripe-grid recompute pairs; returns the
         # cotangent already collapsed to base resolution (f32 backward)
         ct = pallas_blocked.adjoint_blocked(inc, g, naive=naive,
@@ -390,10 +381,10 @@ def _df_planes_gate(hi, dyadic_order: int) -> bool:
     return (_df_supported(hi, dyadic_order)
             and pallas_adjoint.planes_adj_ok(min(B, 128), Mb, Nb,
                                              dyadic_order)
-            and _full_stack_bytes(B, Mb, Nb, f) <= CKPT_STACK_BYTES)
+            and _full_stack_bytes(B, Mb, Nb, f) <= ckpt_stack_bytes())
 
 
-# Full forward stacks beyond this many bytes switch to the sparse
+# Full forward stacks beyond the residual budget switch to the sparse
 # checkpoint stack. Capacity-driven, NOT a speed gate: slope-profiled on
 # chip (scripts/stage_probe.py, round 3), the ckpt route is a net LOSS at
 # the benchmark config (fwd 85.5 + adjoint 92.2 ms vs 85.1 + 64.1 full) --
@@ -402,15 +393,45 @@ def _df_planes_gate(hi, dyadic_order: int) -> bool:
 # live simultaneously as custom_vjp residuals (the backward consumes them
 # after every chunk's forward), and XLA's planner showed ~44% HBM
 # fragmentation at this size, so two 4.3 GB full stacks (256 benchmark
-# pairs) already fail to compile. 5 GB admits exactly one benchmark-grid
-# chunk on the fast full-stack route; every multi-chunk fwd+bwd takes the
-# sparse route.
-CKPT_STACK_BYTES = 5 << 30
+# pairs) already fail to compile on a 16 GB v5e.
+#
+# The budget is derived from the device: 5/16 of reported HBM (the measured
+# usable-residual fraction on v5e after fragmentation + working set). The
+# axon relay returns no memory_stats, so a device_kind table backstops it;
+# SIG_CKPT_STACK_BYTES overrides everything.
+_HBM_BY_KIND_GIB = (
+    ("v5 lite", 16), ("v5e", 16), ("v5p", 95), ("v6 lite", 32),
+    ("v6e", 32), ("v4", 32), ("v3", 16), ("v2", 8),
+)
+_RESIDUAL_FRACTION = 5.0 / 16.0  # measured on v5e (round 3)
+
+
+@functools.lru_cache(maxsize=1)
+def ckpt_stack_bytes() -> int:
+    env = _os.environ.get("SIG_CKPT_STACK_BYTES")
+    if env:
+        return int(env)
+    hbm = None
+    try:
+        dev = jax.devices()[0]
+        stats = getattr(dev, "memory_stats", lambda: None)() or {}
+        hbm = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if not hbm:
+            kind = (getattr(dev, "device_kind", "") or "").lower()
+            for key, gib in _HBM_BY_KIND_GIB:
+                if key in kind:
+                    hbm = gib << 30
+                    break
+    except Exception:
+        pass
+    if not hbm:
+        return 5 << 30  # the measured v5e number
+    return int(hbm * _RESIDUAL_FRACTION)
 
 
 def _df_ckpt_gate(hi, dyadic_order: int) -> bool:
     """Use the SPARSE checkpoint stack? Only when the full hi stack would
-    not fit the HBM budget (see ``CKPT_STACK_BYTES``); otherwise the full
+    not fit the HBM budget (see ``ckpt_stack_bytes``); otherwise the full
     stack is strictly faster. Static decision, recomputed identically in
     fwd and bwd."""
     import math
@@ -424,23 +445,26 @@ def _df_ckpt_gate(hi, dyadic_order: int) -> bool:
             and pallas_adjoint.ckpt_supported(T, f)):
         return False
     B = math.prod(hi.shape[:-2])
-    return _full_stack_bytes(B, Mb, Nb, f) > CKPT_STACK_BYTES
+    return _full_stack_bytes(B, Mb, Nb, f) > ckpt_stack_bytes()
 
 
 def _solve_df_fwd(dd_df, naive, dyadic_order):
+    from .routes import resolve_df_route
+
     hi, lo = dd_df
-    if _df_planes_gate(hi, dyadic_order):
+    r = resolve_df_route(hi, dyadic_order)
+    if r.fwd_stack == "planes":
         from . import pallas_adjoint
 
         val, stk = pallas_df64.solve_final_df_stack_pl(
             hi, lo, naive=naive, dyadic_order=dyadic_order,
             stack_pad=pallas_adjoint._pad_f(2 ** dyadic_order))
         return val, (dd_df, stk)
-    if _df_ckpt_gate(hi, dyadic_order):
+    if r.fwd_stack == "ckpt":
         val, stk = pallas_df64.solve_final_df_ckpt(
             hi, lo, naive=naive, dyadic_order=dyadic_order)
         return val, (dd_df, stk)
-    if _df_stack_gate(hi, dyadic_order):
+    if r.fwd_stack == "full":
         from . import pallas_adjoint
 
         val, stk = pallas_df64.solve_final_df_stack(
@@ -452,24 +476,23 @@ def _solve_df_fwd(dd_df, naive, dyadic_order):
 
 def _solve_df_bwd(naive, dyadic_order, res, g):
     from . import pallas_adjoint
+    from .routes import resolve_df_route
 
     dd_df, stk = res
     hi, lo = dd_df
-    f = 2 ** dyadic_order
-    probe = jax.ShapeDtypeStruct(
-        hi.shape[:-2] + (hi.shape[-2] * f, hi.shape[-1] * f), jnp.float32)
-    if _df_planes_gate(hi, dyadic_order):
+    r = resolve_df_route(hi, dyadic_order)
+    if r.bwd == "planes":
         ct = pallas_adjoint.adjoint_planes_collapsed(
             hi.reshape((-1,) + hi.shape[-2:]), g.reshape(-1), naive=naive,
             dyadic_order=dyadic_order, fwd_stack=stk
         ).reshape(hi.shape)
-    elif _df_ckpt_gate(hi, dyadic_order):
+    elif r.bwd == "ckpt":
         ct = pallas_adjoint.adjoint_ckpt_collapsed(
             hi, g, naive=naive, dyadic_order=dyadic_order, ckpt_stack=stk)
-    elif _df_supported(hi, dyadic_order):
+    elif r.bwd == "fused":
         ct = pallas_adjoint.adjoint_fused_collapsed(
             hi, g, naive=naive, dyadic_order=dyadic_order, fwd_stack=stk)
-    elif pallas_blocked.supported(probe):
+    elif r.bwd == "striped":
         ct = pallas_blocked.adjoint_blocked(hi, g, naive=naive,
                                             dyadic_order=dyadic_order)
     else:

@@ -213,23 +213,6 @@ def test_f32_windowed_phases_match_full(rng, dyadic):
     np.testing.assert_allclose(win, want, rtol=3e-4, atol=3e-5)
 
 
-def test_f32_base_lane_streams_bitexact(rng):
-    """f32 kernel with base-lane streams + in-kernel dilation: bit-equal
-    to the stretched-stream path."""
-    import sigkernel_tpu.ops.pallas_solver as ps
-
-    inc = jnp.asarray(rng.normal(size=(4, 80, 20)) * 0.1, jnp.float32)
-    old = ps.BASE_LANES
-    try:
-        ps.BASE_LANES = False
-        full = np.asarray(ps._solve_final_one(inc, False, 1))
-        ps.BASE_LANES = True
-        dil = np.asarray(ps._solve_final_one(inc, False, 1))
-        np.testing.assert_array_equal(dil, full)
-    finally:
-        ps.BASE_LANES = old
-
-
 def test_f32_windowed_grid_and_stack_match_full(rng):
     """grid_out (stack-emitting) sweeps under lane windows: the unsheared
     grid and the valid stack region must be bit-equal to the full sweep."""

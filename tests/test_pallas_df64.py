@@ -234,37 +234,20 @@ def test_df64_windowed_stack_modes(rng):
 
 
 @pytest.mark.parametrize("dyadic", [1, 2])
-def test_df64_base_lane_streams_bitexact(rng, dyadic):
-    """Base-lane-width streams + in-kernel lane dilation vs the stretched
-    stream: identical math order, so the results must be BIT-equal."""
-    import sigkernel_tpu.ops.pallas_solver as ps
-
+def test_df64_windowed_and_stack_match_full(rng, dyadic):
+    """Windowed and stack-emitting df sweeps must be BIT-equal to the
+    plain full sweep (same math order on the same operands)."""
     inc = jnp.asarray(rng.normal(size=(4, 160 // 2 ** dyadic,
                                        40 // 2 ** dyadic)) * 0.1)
     hi, lo = pallas_df64._split_hi_lo(inc)
-    old = ps.BASE_LANES
-    try:
-        ps.BASE_LANES = False
-        import importlib
-        # pallas_df64 binds BASE_LANES at import; patch its module global
-        pallas_df64.BASE_LANES = False
-        full = np.asarray(pallas_df64._solve_final_one_df(hi, lo, False,
-                                                          dyadic))
-        pallas_df64.BASE_LANES = True
-        dil = np.asarray(pallas_df64._solve_final_one_df(hi, lo, False,
-                                                         dyadic))
-        # windowed + dilated
-        dil_w = np.asarray(pallas_df64._solve_final_one_df(
-            hi, lo, False, dyadic, window_seg=32))
-        # stack mode + dilated
-        v_stk, _ = pallas_df64._solve_final_one_df(hi, lo, False, dyadic,
-                                                   stack_pad=8)
-        np.testing.assert_array_equal(dil, full)
-        np.testing.assert_array_equal(dil_w, full)
-        np.testing.assert_array_equal(np.asarray(v_stk), full)
-    finally:
-        ps.BASE_LANES = old
-        pallas_df64.BASE_LANES = old
+    full = np.asarray(pallas_df64._solve_final_one_df(hi, lo, False,
+                                                      dyadic))
+    win = np.asarray(pallas_df64._solve_final_one_df(
+        hi, lo, False, dyadic, window_seg=32))
+    v_stk, _ = pallas_df64._solve_final_one_df(hi, lo, False, dyadic,
+                                               stack_pad=8)
+    np.testing.assert_array_equal(win, full)
+    np.testing.assert_array_equal(np.asarray(v_stk), full)
 
 
 @pytest.mark.parametrize("naive", [True, False])
