@@ -27,6 +27,7 @@ from .sigkernel import (  # noqa: F401
     SigKernel,
     sig_kernel,
     sig_gram,
+    sig_gram_lincomb,
     sig_kernel_and_derivatives_gram,
     k_kgrad,
     sig_distance,

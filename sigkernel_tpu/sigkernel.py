@@ -230,7 +230,7 @@ def _gen_route(static_kernel, x, y, dyadic_order, need_grad: bool,
     f = 2 ** dyadic_order
     return (pallas_adjoint.planes_adj_ok(min(Bt, 128), Mb, Nb, dyadic_order)
             and _solve._full_stack_bytes(Bt, Mb, Nb, f)
-            <= _solve.CKPT_STACK_BYTES)
+            <= _solve.ckpt_stack_bytes())
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -305,6 +305,68 @@ def _rbf_gen_bwd(gram, naive, dyadic_order, res, g):
 _rbf_gen.defvjp(_rbf_gen_fwd, _rbf_gen_bwd)
 
 
+def _gen32_route(static_kernel, x, y, dyadic_order, gram: bool) -> bool:
+    """Take the matched-precision (f32) in-kernel-generation route?
+
+    Same geometry/budget gates as the df gen route (the stack layout and
+    the plane adjoint are shared), plus the gen adjoint must be enabled --
+    gen32 has no streamed-adjoint fallback (SIG_GEN_ADJOINT=0 or
+    SIG_INKERNEL_GEN=0 drop f32 inputs back to the fused family).
+    """
+    return (_gen_adjoint_on()
+            and _gen_route(static_kernel, x, y, dyadic_order,
+                           need_grad=True, gram=gram))
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _rbf_gen32(static_kernel, x, y, gram, naive, dyadic_order):
+    """Matched-precision in-kernel-generation RBF signature solve: f32
+    generation wavefront forward (paths in, values out), f32 gen adjoint
+    backward (reverse stream regenerated in-kernel), chained to paths and
+    sigma by ``jax.vjp`` through the f32 increment math. The f32 analogue
+    of :func:`_rbf_gen` -- on a chip with no f64 units, the fastest
+    differentiable route in the library."""
+    from .ops import pallas_gen32
+
+    Xp, Yp = _expand_pairs(x, y, gram)
+    vals = pallas_gen32.solve_final_f32_gen(
+        Xp, Yp, static_kernel.sigma, naive=naive, dyadic_order=dyadic_order)
+    return vals.reshape((x.shape[0], y.shape[0]) if gram else (x.shape[0],))
+
+
+def _rbf_gen32_fwd(static_kernel, x, y, gram, naive, dyadic_order):
+    from .ops import pallas_adjoint, pallas_gen32
+
+    Xp, Yp = _expand_pairs(x, y, gram)
+    shape = (x.shape[0], y.shape[0]) if gram else (x.shape[0],)
+    vals, stk = pallas_gen32.solve_final_f32_gen_stack(
+        Xp, Yp, static_kernel.sigma, naive=naive, dyadic_order=dyadic_order,
+        stack_pad=pallas_adjoint._pad_f_gen(2 ** dyadic_order))
+    return vals.reshape(shape), (static_kernel, x, y, stk)
+
+
+def _rbf_gen32_bwd(gram, naive, dyadic_order, res, g):
+    from .ops import pallas_adjoint
+
+    static_kernel, x, y, stk = res
+    gf = g.reshape(-1).astype(jnp.float32)
+    Xp, Yp = _expand_pairs(x, y, gram)
+    ct = pallas_adjoint.adjoint_planes_collapsed_gen32(
+        Xp, Yp, static_kernel.sigma, gf, naive=naive,
+        dyadic_order=dyadic_order, fwd_stack=stk)
+    ct = ct.reshape(g.shape + ct.shape[-2:])
+
+    def inc_fn(sk_, x_, y_):
+        G = (sk_.Gram_matrix(x_, y_) if gram else sk_.batch_kernel(x_, y_))
+        return double_difference(G)
+
+    _, vjp = jax.vjp(inc_fn, static_kernel, x, y)
+    return vjp(ct.astype(jnp.float32))
+
+
+_rbf_gen32.defvjp(_rbf_gen32_fwd, _rbf_gen32_bwd)
+
+
 def _fused_auto(static_kernel, X, Y, solver, grad_solver, dyadic_order):
     """Should ``solver="auto"`` take the fused in-kernel increment path?
 
@@ -343,22 +405,28 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
         X = pad_length(X, length_bucket)
         Y = pad_length(Y, length_bucket)
 
-    if solver == "fused" or _fused_auto(static_kernel, X, Y, solver,
-                                        grad_solver, dyadic_order):
-        return _fused_pairwise(static_kernel, X, Y, dyadic_order, naive)
+    from .ops.routes import resolve_family
 
-    use_df = _df_route(static_kernel, X, solver, grad_solver)
+    if resolve_family(static_kernel, X, Y, solver, grad_solver,
+                      dyadic_order, gram=False) == "fused":
+        return _fused_pairwise(static_kernel, X, Y, dyadic_order, naive)
 
     def tile_fn(xy):
         x, y = xy
-        if use_df:
-            if grad_solver == "f32":
-                if _gen_route(static_kernel, x, y, dyadic_order,
-                              need_grad=True, gram=False):
-                    return _rbf_gen(static_kernel, x, y, False, naive,
-                                    dyadic_order).astype(X.dtype)
-                dd_df = _df_increments(static_kernel, x, y, gram=False)
-                return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+        # per-tile family: the gen/planes geometry gates see tile shapes
+        # ('fused' is batch-independent, so it cannot appear here)
+        fam = resolve_family(static_kernel, x, y, solver, grad_solver,
+                             dyadic_order, gram=False)
+        if fam == "gen32":
+            return _rbf_gen32(static_kernel, x, y, False, naive,
+                              dyadic_order)
+        if fam == "gen":
+            return _rbf_gen(static_kernel, x, y, False, naive,
+                            dyadic_order).astype(X.dtype)
+        if fam == "df":
+            dd_df = _df_increments(static_kernel, x, y, gram=False)
+            return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+        if fam == "df_hybrid":
             # honest default: df forward, f64-grade backward
             return _df_hybrid(static_kernel, x, y, False, naive,
                               dyadic_order).astype(X.dtype)
@@ -381,45 +449,43 @@ def sig_kernel(static_kernel, X, Y, dyadic_order=0, naive=False,
 
 def _gram_sym_triangle(static_kernel, X, dyadic_order, naive, solver,
                        max_batch, grad_solver="auto"):
-    """Symmetric Gram ``G(X, X)``: block upper triangle, mirrored.
+    """Symmetric Gram ``G(X, X)``: solve exactly the ``A(A+1)/2`` triangle.
 
-    The wavefront solve is exactly transpose-covariant, so ``K[j, i]`` equals
-    ``K[i, j]`` and computing both is wasted work -- the same exploitation
-    the reference's Cython ``sym`` path does by mirroring (reference
-    cython_backend.pyx:74-97). Off-diagonal *blocks* of the triangle are
-    solved once as plain rectangles through the Gram kernels, so no path
-    copies are ever gathered (the pair-flat formulation duplicated ~100x
-    the unique path data in HBM); only the diagonal blocks solve their
-    redundant lower half (a ``block/(2A)`` fraction of extra solves).
+    The wavefront solve is exactly transpose-covariant, so ``K[j, i]``
+    equals ``K[i, j]`` and computing both is wasted work -- the same
+    exploitation the reference's Cython ``sym`` path does by mirroring
+    (reference cython_backend.pyx:74-97). The upper-triangle pairs are
+    solved in pair-flat form, chunked ``max_batch**2`` pairs at a time
+    under ONE ``lax.map`` body (flat compile time in the chunk count; path
+    gathers happen per chunk, so the duplicated path data is bounded by
+    the chunk size), then scattered and mirrored. Solve count is
+    ``A(A+1)/2`` rounded up to the chunk multiple at ANY ``max_batch``.
     """
+    import numpy as np
+
     A = X.shape[0]
-    blk = A if max_batch is None else min(max_batch, A)
+    iu, ju = np.triu_indices(A)          # static, host-side
+    P = iu.shape[0]
+    chunk = P if max_batch is None else min(max(max_batch, 1) ** 2, P)
     kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
               max_batch=None, grad_solver=grad_solver)
 
-    if blk >= A:
-        K = sig_gram(static_kernel, X, X, sym=False, **kw)
-        iu = jnp.triu(jnp.ones((A, A), bool))
-        Ku = jnp.where(iu, K, 0.0)
-        return Ku + Ku.T - jnp.diag(jnp.diag(K))
+    def pair_tile(idx):
+        i, j = idx
+        return sig_kernel(static_kernel, X[i], X[j], **kw)
 
-    starts = list(range(0, A, blk))
-    rows = []
-    for si, s in enumerate(starts):
-        xs = X[s:s + blk]
-        row = [None] * len(starts)
-        row[si] = sig_gram(static_kernel, xs, xs, sym=False, **kw)
-        for tj in range(si + 1, len(starts)):
-            t = starts[tj]
-            row[tj] = sig_gram(static_kernel, xs, X[t:t + blk], sym=False,
-                               **kw)
-        rows.append(row)
-    # mirror the blocks below the diagonal
-    for si in range(len(starts)):
-        for tj in range(si):
-            rows[si][tj] = rows[tj][si].T
-    K = jnp.concatenate([jnp.concatenate(r, axis=1) for r in rows], axis=0)
-    return 0.5 * (K + K.T)  # diagonal blocks: exact symmetry up to roundoff
+    if P <= chunk:
+        vals = pair_tile((jnp.asarray(iu), jnp.asarray(ju)))
+    else:
+        nc = -(-P // chunk)
+        pad = nc * chunk - P
+        iu_p = np.concatenate([iu, np.zeros(pad, iu.dtype)])
+        ju_p = np.concatenate([ju, np.zeros(pad, ju.dtype)])
+        idx = (jnp.asarray(iu_p).reshape(nc, chunk),
+               jnp.asarray(ju_p).reshape(nc, chunk))
+        vals = lax.map(pair_tile, idx).reshape(-1)[:P]
+    K = jnp.zeros((A, A), vals.dtype).at[iu, ju].set(vals)
+    return K + K.T - jnp.diag(jnp.diag(K))
 
 
 def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
@@ -440,8 +506,10 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
         return _gram_sym_triangle(static_kernel, X, dyadic_order, naive,
                                   solver, max_batch, grad_solver)
 
-    if solver == "fused" or _fused_auto(static_kernel, X, Y, solver,
-                                        grad_solver, dyadic_order):
+    from .ops.routes import resolve_family
+
+    if resolve_family(static_kernel, X, Y, solver, grad_solver,
+                      dyadic_order, gram=True) == "fused":
         A, B = X.shape[0], Y.shape[0]
         rows_per = max(1, (max_batch or A * B) // max(B, 1))
         parts = []
@@ -457,17 +525,19 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
             K = 0.5 * (K + K.T)
         return K
 
-    use_df = _df_route(static_kernel, X, solver, grad_solver)
-
     def tile_fn(x, y):
-        if use_df:
-            if grad_solver == "f32":
-                if _gen_route(static_kernel, x, y, dyadic_order,
-                              need_grad=True, gram=True):
-                    return _rbf_gen(static_kernel, x, y, True, naive,
-                                    dyadic_order).astype(X.dtype)
-                dd_df = _df_increments(static_kernel, x, y, gram=True)
-                return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+        fam = resolve_family(static_kernel, x, y, solver, grad_solver,
+                             dyadic_order, gram=True)
+        if fam == "gen32":
+            return _rbf_gen32(static_kernel, x, y, True, naive,
+                              dyadic_order)
+        if fam == "gen":
+            return _rbf_gen(static_kernel, x, y, True, naive,
+                            dyadic_order).astype(X.dtype)
+        if fam == "df":
+            dd_df = _df_increments(static_kernel, x, y, gram=True)
+            return solve_df(dd_df, naive, dyadic_order).astype(X.dtype)
+        if fam == "df_hybrid":
             # honest default: df forward, f64-grade backward
             return _df_hybrid(static_kernel, x, y, True, naive,
                               dyadic_order).astype(X.dtype)
@@ -496,6 +566,157 @@ def sig_gram(static_kernel, X, Y, dyadic_order=0, sym=False, naive=False,
     if sym:
         K = 0.5 * (K + K.T)
     return K
+
+
+# ---------------------------------------------------------------------------
+# Chunked Gram linear combination with eager gradients (bounded memory)
+# ---------------------------------------------------------------------------
+
+def _lincomb_pairs(A, B, W, sym):
+    """Static pair index lists + per-pair weights for ``sum(W * K)``.
+
+    ``sym`` packs the upper triangle only (``K`` is exactly symmetric, so
+    ``S = sum_{i<j} (W_ij + W_ji) K_ij + sum_i W_ii K_ii``) -- the Gram
+    solve count drops to ``A(A+1)/2``, the same exploitation as the
+    reference's Cython ``sym`` path (reference cython_backend.pyx:74-97).
+    """
+    import numpy as np
+
+    if sym:
+        ii, jj = np.triu_indices(A)
+        w = W[ii, jj] + jnp.where(jnp.asarray(ii == jj), 0.0, W[jj, ii])
+    else:
+        ii, jj = np.divmod(np.arange(A * B), B)
+        w = W.reshape(-1)
+    return ii, jj, w
+
+
+def _lincomb_chunks(ii, jj, w, chunk):
+    """Pad the pair list to a chunk multiple (zero weights: exact no-ops)."""
+    import numpy as np
+
+    P = ii.shape[0]
+    nc = -(-P // chunk)
+    pad = nc * chunk - P
+    ii_p = jnp.asarray(np.concatenate([ii, np.zeros(pad, ii.dtype)]))
+    jj_p = jnp.asarray(np.concatenate([jj, np.zeros(pad, jj.dtype)]))
+    w_p = jnp.concatenate([w, jnp.zeros((pad,), w.dtype)])
+    return (ii_p.reshape(nc, chunk), jj_p.reshape(nc, chunk),
+            w_p.reshape(nc, chunk), P)
+
+
+def _lincomb_tile_kw(dyadic_order, naive, solver, grad_solver):
+    return dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
+                max_batch=None, grad_solver=grad_solver)
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _gram_lincomb(static_kernel, X, Y, W, sym, dyadic_order, naive, solver,
+                  grad_solver, chunk):
+    """Primal: value-only chunked scan (no stacks, no eager grads)."""
+    kw = _lincomb_tile_kw(dyadic_order, naive, solver, grad_solver)
+    ii, jj, w = _lincomb_pairs(X.shape[0], Y.shape[0], W, sym)
+    iic, jjc, wc, P = _lincomb_chunks(ii, jj, w, chunk)
+    acc_dtype = jnp.result_type(W.dtype, X.dtype)
+
+    def body(acc, args):
+        ic, jc, wci = args
+        v = sig_kernel(static_kernel, X[ic], Y[jc], **kw)
+        return acc + jnp.sum(wci * v.astype(acc_dtype)), None
+
+    S, _ = lax.scan(body, jnp.zeros((), acc_dtype), (iic, jjc, wc))
+    return S
+
+
+def _gram_lincomb_fwd(static_kernel, X, Y, W, sym, dyadic_order, naive,
+                      solver, grad_solver, chunk):
+    """Eager-gradient forward: each chunk's forward stack is consumed by
+    its adjoint INSIDE the scan iteration, so residual memory is one
+    chunk's stack regardless of the Gram size -- the bounded-memory
+    version of the reference's eager ``prep_backward``
+    (reference sigkernel.py:397-399,419-502), which keeps all pair grids.
+    """
+    kw = _lincomb_tile_kw(dyadic_order, naive, solver, grad_solver)
+    ii, jj, w = _lincomb_pairs(X.shape[0], Y.shape[0], W, sym)
+    iic, jjc, wc, P = _lincomb_chunks(ii, jj, w, chunk)
+    acc_dtype = jnp.result_type(W.dtype, X.dtype)
+
+    def tree_zeros(t):
+        return jax.tree.map(
+            lambda l: jnp.zeros_like(jnp.asarray(l, acc_dtype)), t)
+
+    def tree_add(a, b):
+        return jax.tree.map(lambda x, y: x + y.astype(x.dtype), a, b)
+
+    def body(carry, args):
+        S, gX, gY, gk = carry
+        ic, jc, wci = args
+
+        def chunk_loss(sk_, X_, Y_):
+            v = sig_kernel(sk_, X_[ic], Y_[jc], **kw)
+            return jnp.sum(wci * v.astype(acc_dtype)), v
+
+        s_c, vjpf, v_c = jax.vjp(chunk_loss, static_kernel, X, Y,
+                                 has_aux=True)
+        dk, dX, dY = vjpf(jnp.ones((), s_c.dtype))
+        return (S + s_c, gX + dX.astype(gX.dtype),
+                gY + dY.astype(gY.dtype), tree_add(gk, dk)), v_c
+
+    init = (jnp.zeros((), acc_dtype), jnp.zeros_like(X), jnp.zeros_like(Y),
+            tree_zeros(static_kernel))
+    (S, gX, gY, gk), Kv = lax.scan(body, init, (iic, jjc, wc))
+
+    # reconstruct the Gram for d/dW (cheap: P floats + a scatter)
+    vals = Kv.reshape(-1)[:P]
+    if sym:
+        K = jnp.zeros(W.shape, vals.dtype).at[jnp.asarray(ii),
+                                              jnp.asarray(jj)].set(vals)
+        K = K + K.T - jnp.diag(jnp.diag(K))
+    else:
+        K = vals.reshape(W.shape)
+    return S, (gX, gY, gk, K.astype(W.dtype))
+
+
+def _gram_lincomb_bwd(sym, dyadic_order, naive, solver, grad_solver, chunk,
+                      res, g):
+    gX, gY, gk, K = res
+    scale = lambda t: jax.tree.map(lambda l: (g * l).astype(l.dtype), t)
+    return (scale(gk), (g * gX).astype(gX.dtype), (g * gY).astype(gY.dtype),
+            (g * K).astype(K.dtype))
+
+
+_gram_lincomb.defvjp(_gram_lincomb_fwd, _gram_lincomb_bwd)
+
+
+def sig_gram_lincomb(static_kernel, X, Y, W, dyadic_order=0, sym=False,
+                     naive=False, solver="auto",
+                     length_bucket: Optional[int] = None, grad_solver="auto",
+                     pair_chunk: int = 128):
+    """Scalar ``sum_ij W_ij k_sig(X_i, Y_j)`` with bounded-memory gradients.
+
+    The Gram matrix never materialises as a differentiation residual: pairs
+    are solved ``pair_chunk`` at a time under one ``lax.scan``, and when
+    differentiated each chunk's adjoint runs inside its own iteration
+    (eager gradients, the reference's ``prep_backward`` trade at bounded
+    memory). This is what makes the north-star config -- batch-100 Gram
+    (10,000 pairs) + MMD backward, len 1024, dyadic 1 -- run in one HBM:
+    the per-chunk forward stack (~4.3 GB at 128 pairs) is freed before the
+    next chunk's forward. ``sym=True`` (X is Y) solves only the
+    ``A(A+1)/2`` triangle. Differentiable in ``X``, ``Y``, ``W``, and the
+    kernel hyperparameters.
+
+    ``pair_chunk`` trades scan length against residual size; 128 pairs is
+    one plane-kernel stack chunk at the benchmark geometry.
+    """
+    _check_grad_solver(grad_solver)
+    if length_bucket:
+        X = pad_length(X, length_bucket)
+        Y = pad_length(Y, length_bucket)
+    if sym and X.shape != Y.shape:
+        raise ValueError("sym=True requires X and Y of identical shape "
+                         "(the caller asserts Y is X)")
+    return _gram_lincomb(static_kernel, X, Y, W, sym, dyadic_order, naive,
+                         solver, grad_solver, int(pair_chunk))
 
 
 def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
@@ -640,10 +861,34 @@ def sig_expected_scoring_rule(static_kernel, X, Y, dyadic_order=0, naive=False,
     return _offdiag_mean(K_XX) - 2.0 * jnp.mean(K_XY)
 
 
+def _offdiag_w(n, dtype):
+    """Weights of the unbiased off-diagonal mean as a lincomb matrix."""
+    return (1.0 - jnp.eye(n, dtype=dtype)) / (n * (n - 1.0))
+
+
 def sig_mmd(static_kernel, X, Y, dyadic_order=0, naive=False,
             solver="auto", max_batch: Optional[int] = 100,
-            grad_solver="auto"):
-    """Unbiased signature-kernel MMD^2 between samples ``X`` and ``Y``."""
+            grad_solver="auto", pair_chunk: int = 128):
+    """Unbiased signature-kernel MMD^2 between samples ``X`` and ``Y``.
+
+    When either batch exceeds ``max_batch`` the three Gram terms run
+    through :func:`sig_gram_lincomb` -- the Grams never materialise as
+    differentiation residuals, so ``jax.grad(sig_mmd)`` is one-chunk-of-
+    stack memory at ANY batch size (the north-star batch-100 config), and
+    the two symmetric terms solve only their triangles.
+    """
+    n, m = X.shape[0], Y.shape[0]
+    if max_batch is not None and (n > max_batch or m > max_batch):
+        kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
+                  grad_solver=grad_solver, pair_chunk=pair_chunk)
+        dt = X.dtype
+        s_xx = sig_gram_lincomb(static_kernel, X, X, _offdiag_w(n, dt),
+                                sym=True, **kw)
+        s_yy = sig_gram_lincomb(static_kernel, Y, Y, _offdiag_w(m, dt),
+                                sym=True, **kw)
+        w_xy = jnp.full((n, m), -2.0 / (n * m), dt)
+        s_xy = sig_gram_lincomb(static_kernel, X, Y, w_xy, **kw)
+        return s_xx + s_yy + s_xy
     kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
               max_batch=max_batch, grad_solver=grad_solver)
     K_XX = sig_gram(static_kernel, X, X, sym=True, **kw)
