@@ -215,7 +215,7 @@ def _product_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state, ibuf, fbuf,
 def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
                              ibuf, fbuf, acc, obuf, isem, carry,
                              *, n_steps, MM, NN, L_f, naive, pad_f, refine,
-                             base_lanes=False, window_seg=0, compact=False):
+                             window_seg=0, compact=False):
     """Transposed-reverse sweep + in-flight product + in-kernel dyadic
     collapse of the cotangent to BASE anti-diagonals (refine = f > 1 only).
 
@@ -376,20 +376,10 @@ def _product_collapse_kernel(rinc_hbm, fstk_hbm, g_ref, out_hbm, state,
     def make_body(ws=None, W=None, iiw=None, guarded=True):
         if ws is None:
             def ld(bslot, t):
-                v = ibuf[bslot, t]
-                return jnp.repeat(v, f, axis=1) if base_lanes else v
+                return ibuf[bslot, t]
 
             def ldc():
-                v = carry[0]
-                return jnp.repeat(v, f, axis=1) if base_lanes else v
-        elif base_lanes:
-            def ld(bslot, t):
-                return jnp.repeat(
-                    ibuf[bslot, t, :, ws // f:(ws + W) // f], f, axis=1)
-
-            def ldc():
-                return jnp.repeat(
-                    carry[0, :, ws // f:(ws + W) // f], f, axis=1)
+                return carry[0]
         else:
             def ld(bslot, t):
                 return ibuf[bslot, t, :, ws:ws + W]
@@ -1134,6 +1124,318 @@ def adjoint_planes_collapsed_gen(Xp, Yp, sigma, g, naive: bool,
     return out.reshape(Bp, Mb, Nb)[:B0]
 
 
+def _product_collapse_planes_gen32_kernel(
+        x_ref, sx_ref, yr_ref, syr_ref, rs_ref, fstk_hbm, g_ref, out_hbm,
+        state, fbuf, acc, obuf, gd, gb, isem,
+        *, n_steps, MM, NN, Lbf, naive, pad_f, refine, Mb_r, Nb_r,
+        window_seg=0):
+    """f32 plane-split collapse adjoint with IN-KERNEL reverse-stream
+    generation: the matched-precision mirror of
+    :func:`_product_collapse_planes_gen_kernel` (see its docstring for
+    the dataflow contracts). The reverse sweep was already f32 there;
+    here the increment GENERATION is f32 too
+    (``pallas_gen32._make_inc_gen32``), so the whole backward runs at
+    matched precision with ~10x fewer generation ops per cell.
+    """
+    from .pallas_gen32 import T_GEN, _make_inc_gen32
+
+    P = state.shape[2]
+    Lbr = state.shape[3]
+    f = refine
+    T_b = T_GEN
+    TFf = T_b * f
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, T_b)
+    iib = lax.broadcasted_iota(jnp.int32, (P, Lbr), 1)
+    one = jnp.float32(1.0)
+    zslab = jnp.zeros((P, Lbf), jnp.float32)
+    L_r = f * Lbr
+
+    from .pallas_solver import _window_phases
+    spb = T_b * f
+    phases = None
+    if window_seg:
+        phases = _window_phases(n_batches, spb, n_steps, MM, L_r,
+                                window_seg, margin_top=max(8, 3 * f + 2),
+                                align=f * LANES)
+    A = (n_steps - 3) // f
+    r0 = (n_steps - 3) % f
+
+    for p in range(f):
+        state[0, p] = jnp.ones((P, Lbr), jnp.float32)
+        state[1, p] = jnp.ones((P, Lbr), jnp.float32)
+    acc[0] = zslab
+    acc[1] = zslab
+    gv = g_ref[...]
+
+    gb[1] = jnp.zeros((P, Lbr), jnp.float32)
+    gen_G, gen_inc = _make_inc_gen32(
+        (x_ref, sx_ref, yr_ref, syr_ref, rs_ref),
+        gd, gb, Mb=Mb_r, Nb=Nb_r, refine=f)
+    gd[0] = gen_G(0)
+    gd[1] = gen_G(1)
+
+    def flush(slot, k_entry):
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(2 + slot)]).wait()
+        obuf[slot] = acc[slot]
+        acc[slot] = zslab
+        pltpu.make_async_copy(obuf.at[_ix(slot)],
+                              out_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(2 + slot)]).start()
+
+    def accumulate_planes(prods, q_mod_f, k_par):
+        hi_sum = lo_sum = None
+        for p in range(f):
+            if p <= q_mod_f:
+                hi_sum = prods[p] if hi_sum is None else hi_sum + prods[p]
+            else:
+                lo_sum = prods[p] if lo_sum is None else lo_sum + prods[p]
+        if hi_sum is not None:
+            acc[k_par] = acc[k_par] + hi_sum
+        if lo_sum is not None:
+            acc[1 - k_par] = acc[1 - k_par] + lo_sum
+
+    V = n_slots + 1
+    obuf[0] = zslab
+    obuf[1] = zslab
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(V + 2)],
+                          isem.at[_ix(2)]).start()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(V + 3)],
+                          isem.at[_ix(3)]).start()
+
+    pre1 = pltpu.make_async_copy(fstk_hbm.at[_ix(n_steps - 3 + pad_f)],
+                                 fbuf.at[_ix(0), _ix(0)], isem.at[_ix(0)])
+    pre2 = pltpu.make_async_copy(fstk_hbm.at[_ix(n_steps - 4 + pad_f)],
+                                 fbuf.at[_ix(0), _ix(1)], isem.at[_ix(1)])
+    pre1.start()
+    pre2.start()
+    pre1.wait()
+    pre2.wait()
+    q1, q2 = n_steps - 1, n_steps - 2
+    k1, k2 = q1 // f, q2 // f
+    accumulate_planes([fbuf[0, 0, p] * gv for p in range(f)],
+                      q1 % f, k1 % 2)
+    if q1 % f == 0:
+        flush(k1 % 2, jnp.int32(k1))
+    accumulate_planes([fbuf[0, 1, p] * gv for p in range(f)],
+                      q2 % f, k2 % 2)
+
+    def in_copies(b, slot):
+        E_b = n_steps - 4 - (b + 1) * TFf + pad_f
+        return (
+            pltpu.make_async_copy(fstk_hbm.at[pl.ds(_ix(E_b), TFf)],
+                                  fbuf.at[_ix(slot)],
+                                  isem.at[_ix(slot)]),
+        )
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def make_body(ws=None, W=None, guarded=True):
+        wsb = None if ws is None else ws // f
+        Wb = None if ws is None else W // f
+        iibw = None if ws is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
+
+        def when_q(q_r):
+            if guarded:
+                return pl.when(q_r < n_steps)
+            return lambda fn: fn()
+
+        iiw = iib if wsb is None else iibw
+
+        def gb_win(slot):
+            if wsb is None:
+                return gb[slot]
+            return gb[slot, :, wsb:wsb + Wb]
+
+        def step(q_r, k_r, s_i, sp, t, cur, prev, fb_idx, bslot):
+            vm2, vm1 = sp, 1 - sp
+
+            def st(slot, p):
+                if wsb is None:
+                    return state[slot, p]
+                return state[slot, p, :, wsb:wsb + Wb]
+
+            k10 = [st(vm1, p) for p in range(f)]
+            p2 = [st(vm2, p) for p in range(f)]
+            roll1 = lambda x: pltpu.roll(x, jnp.int32(1), axis=1)
+            k01 = [roll1(k10[f - 1])] + k10[:f - 1]
+            k00 = [roll1(p2[f - 1])] + p2[:f - 1]
+            u = [roll1(cur if s_i == f - 1 else prev)] + \
+                [(cur if p <= s_i else prev) for p in range(f - 1)]
+
+            p_star = (s_i + 2) % f
+            off = (s_i + 2 - p_star) // f
+            hit_lane = jnp.int32(0) + k_r + off
+
+            vs = []
+            for p in range(f):
+                v = _scheme(k00[p], k01[p], k10[p], u[p], naive)
+                mask = iiw > (NN - p) // f
+                if p == p_star:
+                    mask = mask | (iiw == hit_lane)
+                if p == 0:
+                    mask = mask | (iiw == 0)
+                v = jnp.where(mask, one, v)
+                if wsb is not None and wsb > 0 and p == 0:
+                    v = jnp.where(iiw == wsb, p2[0], v)
+                vs.append(v)
+            for p in range(f):
+                if wsb is None:
+                    state[vm2, p] = vs[p]
+                else:
+                    state[vm2, p, :, wsb:wsb + Wb] = vs[p]
+
+            q = n_steps - 3 - q_r
+
+            @pl.when(q >= 0)
+            def _():
+                sr = (-3 - s_i) % f
+                d = jnp.int32(MM - 3) - jnp.int32(0) - q_r
+                sig = lax.rem(d + jnp.int32(2 * L_r), jnp.int32(L_r))
+                sq = lax.div(sig, jnp.int32(f))
+                prods = []
+                for p in range(f):
+                    src = (p - sr) % f
+                    sh = sq + (1 if p < sr else 0)
+                    A2 = pltpu.roll(state[vm2, src], sh, axis=1)[:, :Lbf]
+                    F = fbuf[bslot, fb_idx, p]
+                    F = jnp.where(q >= 2, F, one)
+                    prods.append(F * A2 * gv)
+                c = 1 if s_i > r0 else 0
+                k_par = (A + t + c) % 2
+                accumulate_planes(prods, (r0 - s_i) % f, k_par)
+                if s_i == r0:
+                    k_dyn = _ix(A) - lax.div(_ix(q_r), jnp.int32(f))
+                    flush(k_par, k_dyn)
+
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
+
+            @pl.when(b + 1 < n_batches)
+            def _():
+                for c in in_copies(b + 1, 1 - bslot):
+                    c.start()
+
+            for c in in_copies(b, bslot):
+                c.wait()
+
+            for t in range(T_b):
+                k_r = b * T_b + t
+
+                @when_q(k_r * f)
+                def _(k_r=k_r, t=t):
+                    gen_inc(k_r, t, wsb, Wb)
+                    cur = gb_win(t % 2)
+                    prev = gb_win(1 - t % 2)
+                    for s_i in range(f):
+                        q_r = k_r * f + s_i
+                        sp = s_i % 2
+
+                        @when_q(q_r)
+                        def _(q_r=q_r, k_r=k_r, t=t, s_i=s_i, sp=sp):
+                            step(q_r, k_r, s_i, sp, t, cur, prev,
+                                 TFf - 1 - (t * f + s_i), bslot)
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, guarded), 0)
+
+    pltpu.make_async_copy(obuf.at[_ix(0)], out_hbm.at[_ix(2)],
+                          isem.at[_ix(2)]).wait()
+    pltpu.make_async_copy(obuf.at[_ix(1)], out_hbm.at[_ix(3)],
+                          isem.at[_ix(3)]).wait()
+
+
+def adjoint_planes_collapsed_gen32(Xp, Yp, sigma, g, naive: bool,
+                                   dyadic_order: int,
+                                   fwd_stack) -> jnp.ndarray:
+    """f32 base-resolution increment cotangent via in-kernel reverse-stream
+    generation (matched-precision mirror of
+    :func:`adjoint_planes_collapsed_gen`). The stack must come from
+    ``pallas_gen32.solve_final_f32_gen_stack`` with
+    ``stack_pad=_pad_f_gen(f)``."""
+    f = 2 ** dyadic_order
+    from . import pallas_gen32
+    from .pallas_solver import WINDOW_SEG
+
+    B0, M, _ = Xp.shape
+    N = Yp.shape[1]
+    Mb, Nb = M - 1, N - 1
+    MM, NN = Mb * f, Nb * f
+    T = MM + NN - 1
+    pad_f = _pad_f_gen(f)
+    chunk = shared_chunk(MM, NN)
+
+    def one_core(Xc, Yc, g_c, S_f):
+        B = Xc.shape[0]
+        P = ceil_to(B, SUBLANES)
+        Lbf = ceil_to(Mb + 1, LANES)
+        Lbr = ceil_to(Nb + 1, LANES)
+        assert S_f.shape[1:] == (f, P, Lbf), (S_f.shape, (f, P, Lbf))
+
+        ins = pallas_gen32._gen_point_slabs32(
+            jnp.flip(Yc, 1), jnp.flip(Xc, 1), sigma, P, Lbr)
+        gp = jnp.pad(g_c.astype(jnp.float32), (0, P - B))[:, None]
+
+        V = -(-T // f) + 1
+        Tp_out = ceil_to(V + 4, LANES)
+        kernel = functools.partial(
+            _product_collapse_planes_gen32_kernel, n_steps=T, MM=MM, NN=NN,
+            Lbf=Lbf, naive=naive, pad_f=pad_f, refine=f, Mb_r=Nb, Nb_r=Mb,
+            window_seg=WINDOW_SEG)
+        cot_b = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Tp_out, P, Lbf), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5
+                     + [pl.BlockSpec(memory_space=pl.ANY),
+                        pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            scratch_shapes=[
+                pltpu.VMEM((2, f, P, Lbr), jnp.float32),          # state
+                pltpu.VMEM((2, pallas_gen32.T_GEN * f, f, P, Lbf),
+                           jnp.float32),                          # fbuf
+                pltpu.VMEM((2, P, Lbf), jnp.float32),             # acc
+                pltpu.VMEM((2, P, Lbf), jnp.float32),             # obuf
+                pltpu.VMEM((3, P, Lbr), jnp.float32),             # gd
+                pltpu.VMEM((2, P, Lbr), jnp.float32),             # gb
+                pltpu.SemaphoreType.DMA((4,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(*ins, S_f, gp)
+
+        Ds = cot_b[:, :, :Mb]
+        DT = jnp.transpose(Ds, (1, 2, 0))                  # (P, Mb, Tp_out)
+        flat = jnp.pad(DT.reshape(P, Mb * Tp_out), ((0, 0), (0, Mb)))
+        K = flat.reshape(P, Mb, Tp_out + 1)[:, :, 2: 2 + Nb]
+        return K[:B] * jnp.float32(1.0 / (f * f))
+
+    g32 = g.astype(jnp.float32)
+    if B0 <= chunk:
+        return one_core(Xp, Yp, g32, fwd_stack[0])
+    Bp = ceil_to(B0, chunk)
+    nc = Bp // chunk
+    assert fwd_stack.shape[0] == nc, (fwd_stack.shape, nc)
+    Xq = jnp.pad(Xp, ((0, Bp - B0), (0, 0), (0, 0))).reshape(
+        nc, chunk, M, -1)
+    Yq = jnp.pad(Yp, ((0, Bp - B0), (0, 0), (0, 0))).reshape(
+        nc, chunk, N, -1)
+    g4 = jnp.pad(g32, (0, Bp - B0)).reshape(nc, chunk)
+    out = jax.lax.map(lambda a: one_core(a[0], a[1], a[2], a[3]),
+                      (Xq, Yq, g4, fwd_stack))
+    return out.reshape(Bp, Mb, Nb)[:B0]
+
+
 def ckpt_pairs(T: int, f: int) -> int:
     """Checkpoint pairs in the sparse forward stack for a T-step sweep.
 
@@ -1617,15 +1919,10 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         L_r = ceil_to(NN + 1, LANES)
         assert S_f.shape[1:] == (P, L_f), "fused adjoint needs P-S layout"
 
-        from .pallas_solver import BASE_LANES as _BL
-
         rbase = jnp.swapaxes(jnp.flip(jnp.flip(inc_c, -1), -2), -1, -2)
         rb = rbase * jnp.float32(1.0 / (f * f))            # (B, Nb, Mb)
-        dil = False
         if _use_aligned(B, (P, L_r), 1):
-            (sk,) = _aligned_streams_ps([rb], f, TB, (P, L_r),
-                                        stretch=not _BL)
-            dil = _BL
+            (sk,) = _aligned_streams_ps([rb], f, TB, (P, L_r))
         else:
             sk = _stretch_stream(rb, f, TB, 1, (P, L_r))
         L_in = sk.shape[-1]
@@ -1640,7 +1937,7 @@ def adjoint_fused_collapsed(inc3: jnp.ndarray, g: jnp.ndarray, naive: bool,
         L_out = L_f // f if compact else L_f
         kernel = functools.partial(_product_collapse_kernel, n_steps=T,
                                    MM=MM, NN=NN, L_f=L_f, naive=naive,
-                                   pad_f=pad_f, refine=f, base_lanes=dil,
+                                   pad_f=pad_f, refine=f,
                                    window_seg=_WSEG, compact=compact)
         cot_b = pl.pallas_call(
             kernel,
