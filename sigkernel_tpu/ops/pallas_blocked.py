@@ -552,6 +552,224 @@ def _stripe_bottom_row_df(hi_s, lo_s, bd, naive):
     return unpack(rows_h, 1.0), unpack(rows_l, 0.0)
 
 
+def _stripe_kernel_grid_df(inch_hbm, incl_hbm, bd01_ref, outh_ref, outl_ref,
+                           sh, sl, ibh, ibl, isem,
+                           *, n_steps, MM, naive):
+    """DF stripe sweep streaming ALL (hi, lo) diagonals to HBM -- the
+    double-double analogue of :func:`_stripe_kernel_grid` for the
+    f64-grade striped adjoint's grid recompute. Boundary streams ride
+    lane 0 of the component increment slabs; bd01_ref is (2, 2, P, 1)
+    (component, diag). isem: 8 (4 in + 4 out write-back)."""
+    from .pallas_df64 import _df_scheme
+
+    T = DMA_BATCH
+    P, L = sh.shape[1], sh.shape[2]
+    n_batches = pl.cdiv(n_steps, T)
+    ii = lax.broadcasted_iota(jnp.int32, (P, L), 1)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    init1 = jnp.ones((P, L), jnp.float32)
+    init0 = jnp.zeros((P, L), jnp.float32)
+    sh[0] = jnp.where(ii == 0, bd01_ref[0, 0], init1)
+    sh[1] = jnp.where(ii == 0, bd01_ref[0, 1], init1)
+    sl[0] = jnp.where(ii == 0, bd01_ref[1, 0], init0)
+    sl[1] = jnp.where(ii == 0, bd01_ref[1, 1], init0)
+
+    def in_copies(b, slot):
+        ds = pl.ds(_ix(b * T + IN_OFF), T)
+        return (
+            pltpu.make_async_copy(inch_hbm.at[ds], ibh.at[_ix(slot)],
+                                  isem.at[_ix(slot)]),
+            pltpu.make_async_copy(incl_hbm.at[ds], ibl.at[_ix(slot)],
+                                  isem.at[_ix(2 + slot)]),
+        )
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        for t in range(T):
+            q = b * T + t
+            vm2, vm1 = t % 2, 1 - (t % 2)
+
+            @pl.when(q < n_steps)
+            def _():
+                uh, ul = ibh[bslot, t], ibl[bslot, t]
+                k10h, k10l = sh[vm1], sl[vm1]
+                k01h = pltpu.roll(k10h, jnp.int32(1), axis=1)
+                k01l = pltpu.roll(k10l, jnp.int32(1), axis=1)
+                k00h = pltpu.roll(sh[vm2], jnp.int32(1), axis=1)
+                k00l = pltpu.roll(sl[vm2], jnp.int32(1), axis=1)
+                vh, vl = _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l,
+                                    uh, ul, naive)
+                vh = jnp.where(ii == 0,
+                               jnp.broadcast_to(uh[:, 0:1], (P, L)), vh)
+                vl = jnp.where(ii == 0,
+                               jnp.broadcast_to(ul[:, 0:1], (P, L)), vl)
+                west = (ii == q + 2) | (ii > MM)
+                vh = jnp.where(west, one, vh)
+                vl = jnp.where(west, zero, vl)
+
+                @pl.when(q >= 2)
+                def _():
+                    pltpu.make_async_copy(sh.at[_ix(vm2)],
+                                          outh_ref.at[_ix(q)],
+                                          isem.at[_ix(4 + t % 2)]).wait()
+                    pltpu.make_async_copy(sl.at[_ix(vm2)],
+                                          outl_ref.at[_ix(q)],
+                                          isem.at[_ix(6 + t % 2)]).wait()
+                sh[vm2] = vh
+                sl[vm2] = vl
+                pltpu.make_async_copy(sh.at[_ix(vm2)],
+                                      outh_ref.at[_ix(q + 2)],
+                                      isem.at[_ix(4 + t % 2)]).start()
+                pltpu.make_async_copy(sl.at[_ix(vm2)],
+                                      outl_ref.at[_ix(q + 2)],
+                                      isem.at[_ix(6 + t % 2)]).start()
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    last = (n_steps - 1) % 2
+    for ref, base in ((outh_ref, 4), (outl_ref, 6)):
+        pltpu.make_async_copy((sh if base == 4 else sl).at[_ix(last)],
+                              ref.at[_ix(n_steps + 1)],
+                              isem.at[_ix(base + last)]).wait()
+
+        @pl.when(n_steps >= 2)
+        def _(ref=ref, base=base):
+            pltpu.make_async_copy(
+                (sh if base == 4 else sl).at[_ix(1 - last)],
+                ref.at[_ix(n_steps)],
+                isem.at[_ix(base + (1 - last))]).wait()
+
+
+def _stripe_grid_df(hi_s, lo_s, bd, naive):
+    """Full (hi, lo) solution grids of one DF stripe given its DF north
+    boundary. ``hi_s``/``lo_s``: (B, MM_s, NN); ``bd``: DF pair of
+    (B, NN + 1). Returns a DF pair of (B, MM_s + 1, NN + 1) grids."""
+    from .pallas_solver import _stack_to_grid
+
+    B, MM, NN = hi_s.shape
+    n_steps = MM + NN - 1
+    bdh, bdl = bd
+    skh, bdh01, (P, L, Tp) = _stripe_io(hi_s, bdh, fill=1.0)
+    skl, bdl01, _ = _stripe_io(lo_s, bdl, fill=0.0)
+    bd01 = jnp.stack([bdh01, bdl01])            # (2, 2, P, 1)
+
+    Tp2 = ceil_to(n_steps + 2, LANES)
+    kernel = functools.partial(_stripe_kernel_grid_df, n_steps=n_steps,
+                               MM=MM, naive=naive)
+    stack_h, stack_l = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((Tp2, P, L), jnp.float32),) * 2,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pl.ANY),) * 2,
+        scratch_shapes=[
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((2, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
+            pltpu.VMEM((2, DMA_BATCH, P, L), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(skh, skl, bd01)
+    gh = _stack_to_grid(stack_h, 1, MM, NN, B, pre=2)
+    gl = _stack_to_grid(stack_l, 1, MM, NN, B, pre=2)
+    gh = gh.at[:, 0, :].set(bdh[:, : NN + 1])
+    gl = gl.at[:, 0, :].set(bdl[:, : NN + 1])
+    # _stack_to_grid hardcodes the west boundary to the solution value 1;
+    # the lo component's west boundary is 0
+    gl = gl.at[:, 1:, 0].set(0.0)
+    return gh, gl
+
+
+def adjoint_blocked_df(hi3: jnp.ndarray, lo3: jnp.ndarray, g: jnp.ndarray,
+                       naive: bool, dyadic_order: int = 0) -> jnp.ndarray:
+    """f64-grade increment cotangent for grids beyond the VMEM bound.
+
+    The double-double analogue of :func:`adjoint_blocked`: stripe
+    boundaries and stripe grids run as DF (hi, lo) sweeps, the
+    variation-of-parameters product and the dyadic collapse run in f64.
+    Closes the round-3 gap where f64 increments on the blocked solver
+    silently got the f32-grade striped adjoint (reference parity: the
+    Cython CPU path is f64 end-to-end at any length,
+    reference sigkernel/cython_backend.pyx:64-119).
+
+    Returns the cotangent collapsed to base resolution, f64 (B, Mb, Nb).
+    """
+    from .solve import _collapse_refined
+
+    f = 2 ** dyadic_order
+    B0, Mb, Nb = hi3.shape
+    NN = Nb * f
+
+    Rb = min(ADJ_ROWS, (MAX_ROWS - 1)) // f * f
+    Mb_pad = -(-Mb * f // Rb) * Rb // f
+    hi3 = jnp.pad(hi3, ((0, 0), (0, Mb_pad - Mb), (0, 0)))
+    lo3 = jnp.pad(lo3, ((0, 0), (0, Mb_pad - Mb), (0, 0)))
+    MM = Mb_pad * f
+    S = MM // Rb
+
+    hi_rev = jnp.flip(jnp.flip(hi3, -1), -2)
+    lo_rev = jnp.flip(jnp.flip(lo3, -1), -2)
+    chunk = max(_pair_chunk_blocked(Rb, NN) // 8, SUBLANES)
+
+    def boundaries(hc, lc):
+        B = hc.shape[0]
+        bds = [(jnp.ones((B, NN + 1), jnp.float32),
+                jnp.zeros((B, NN + 1), jnp.float32))]
+        for s in range(S - 1):
+            sh = dyadic_refine(hc[:, s * Rb // f:(s + 1) * Rb // f, :],
+                               dyadic_order)
+            sl = dyadic_refine(lc[:, s * Rb // f:(s + 1) * Rb // f, :],
+                               dyadic_order)
+            bds.append(_stripe_bottom_row_df(sh, sl, bds[-1], naive))
+        return bds
+
+    def one(args):
+        hc, lc, hr, lr, g_c = args
+        bd_f = boundaries(hc, lc)
+        bd_r = boundaries(hr, lr)
+        gb = g_c.astype(jnp.float64)[:, None, None]
+        cot_rows = []
+        for s in range(S):
+            t = S - 1 - s
+
+            def stripe(c, idx):
+                return dyadic_refine(c[:, idx * Rb // f:(idx + 1) * Rb // f,
+                                       :], dyadic_order)
+
+            Kh, Kl = _stripe_grid_df(stripe(hc, s), stripe(lc, s),
+                                     bd_f[s], naive)
+            Rh, Rl = _stripe_grid_df(stripe(hr, t), stripe(lr, t),
+                                     bd_r[t], naive)
+            K64 = Kh.astype(jnp.float64) + Kl.astype(jnp.float64)
+            R64 = Rh.astype(jnp.float64) + Rl.astype(jnp.float64)
+            R64 = jnp.flip(jnp.flip(R64, -1), -2)
+            cot = K64[:, :-1, :-1] * R64[:, 1:, 1:] * gb
+            cot_rows.append(_collapse_refined(cot, dyadic_order,
+                                              jnp.float64))
+        return jnp.concatenate(cot_rows, axis=1)
+
+    out = _chunk_map(one, (hi3, lo3, hi_rev, lo_rev,
+                           g.astype(jnp.float64)), chunk)
+    return out[:, :Mb, :]
+
+
 @functools.partial(jax.jit, static_argnames=("naive", "dyadic_order"))
 def solve_final_df(hi: jnp.ndarray, lo: jnp.ndarray, naive: bool = False,
                    dyadic_order: int = 0) -> jnp.ndarray:

@@ -47,7 +47,7 @@ class IncRoute(NamedTuple):
     """Route for the increment-grid custom_vjp (``solve.solve``)."""
     tier: str                  # 'pallas' | 'pallas_df64' | 'pallas_blocked' | 'scan'
     fwd_stack: Optional[str]   # 'planes' | 'full' | None
-    bwd: str                   # 'planes' | 'fused' | 'striped' | 'grid'
+    bwd: str                   # 'planes' | 'fused' | 'striped' | 'striped_df' | 'grid'
     warn: Optional[str] = None
 
 
@@ -81,19 +81,11 @@ def resolve_inc_route(inc, solver: str, dyadic_order: int,
             return IncRoute("pallas_df64", None, "grid")
         return IncRoute("pallas_df64", None, "fused")
     if s == "pallas_blocked":
-        if grad_solver == "df64" and inc.dtype == jnp.float64:
-            # explicit full-precision demand: grid route (may exhaust
-            # memory at blocked sizes -- the user asked)
-            return IncRoute("pallas_blocked", None, "grid")
-        warn = None
-        if inc.dtype == jnp.float64 and grad_solver == "auto":
-            warn = (
-                "sigkernel_tpu: f64 increments on the blocked (beyond-VMEM) "
-                "solver get the f32-grade striped adjoint; pass "
-                "grad_solver='f32' to acknowledge, or grad_solver='df64' to "
-                "force the full-precision grid route (may exhaust memory at "
-                "blocked sizes)")
-        return IncRoute("pallas_blocked", None, "striped", warn)
+        if inc.dtype == jnp.float64 and grad_solver in ("auto", "df64"):
+            # f64-grade striped adjoint: DF stripe grids + f64 product and
+            # collapse (never silently degrades; round-3 verdict item 5)
+            return IncRoute("pallas_blocked", None, "striped_df")
+        return IncRoute("pallas_blocked", None, "striped")
     return IncRoute("scan", None, "grid")
 
 

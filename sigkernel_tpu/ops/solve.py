@@ -277,18 +277,17 @@ def _solve_bwd(naive, solver, dyadic_order, grad_solver, res, g):
             fwd_stack=fstk)
         return (ct.astype(inc.dtype),)
     if r.bwd == "striped":
-        if r.warn:
-            # beyond-VMEM grids have no f64-grade adjoint tier; an f64
-            # fallback would materialise the full refined grid on the scan
-            # tier (typically OOM at these sizes), so warn instead of
-            # silently matching neither choice
-            import warnings
-
-            warnings.warn(r.warn, stacklevel=2)
         # striped adjoint: stripe-grid recompute pairs; returns the
         # cotangent already collapsed to base resolution (f32 backward)
         ct = pallas_blocked.adjoint_blocked(inc, g, naive=naive,
                                             dyadic_order=dyadic_order)
+        return (ct.astype(inc.dtype),)
+    if r.bwd == "striped_df":
+        # f64-grade striped adjoint: DF stripe grids, f64 product/collapse
+        hi = inc.astype(jnp.float32)
+        lo = (inc - hi.astype(jnp.float64)).astype(jnp.float32)
+        ct = pallas_blocked.adjoint_blocked_df(hi, lo, g, naive=naive,
+                                               dyadic_order=dyadic_order)
         return (ct.astype(inc.dtype),)
     # full-precision route: scan tier, or grad_solver="df64" on the
     # double-double tier (both grid sweeps + product run f64-grade)

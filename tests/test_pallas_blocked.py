@@ -6,6 +6,7 @@ test sizes; on hardware the same code runs with MAX_ROWS = 8192.
 import os
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -143,3 +144,53 @@ def test_striped_adjoint_unaligned_rows(rng, small_rows, monkeypatch):
     got = np.asarray(pallas_blocked.adjoint_blocked(inc, g, False, 1))
     np.testing.assert_allclose(got, want, rtol=3e-4,
                                atol=3e-5 * np.abs(want).max())
+
+
+@pytest.mark.parametrize("dyadic_order,shape", [(1, (2, 12, 9)),
+                                                (2, (1, 8, 8))])
+def test_striped_df_adjoint_matches_f64_oracle(rng, monkeypatch,
+                                               dyadic_order, shape):
+    """f64-grade striped adjoint vs the exact f64 scan-tier adjoint:
+    multi-stripe decomposition (MAX_ROWS monkeypatched down) must agree
+    to f64-grade accuracy, not f32."""
+    from sigkernel_tpu.ops import solve as solve_mod
+
+    monkeypatch.setattr(pallas_blocked, "MAX_ROWS", 16)
+    monkeypatch.setattr(pallas_blocked, "ADJ_ROWS", 16)
+    inc = jnp.asarray(rng.normal(size=shape) * 0.1)
+    g = jnp.asarray(rng.normal(size=(shape[0],)))
+    hi = inc.astype(jnp.float32)
+    lo = (inc - hi.astype(jnp.float64)).astype(jnp.float32)
+    got = np.asarray(pallas_blocked.adjoint_blocked_df(
+        hi, lo, g, naive=False, dyadic_order=dyadic_order))
+    (want,) = solve_mod._grid_route_bwd(inc, g, False, "scan", dyadic_order)
+    want = np.asarray(want)
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got, want, atol=1e-9 * scale, rtol=0)
+
+
+def test_striped_df_route_end_to_end(rng, monkeypatch):
+    """solve() with f64 increments on the blocked tier takes the f64-grade
+    striped adjoint under grad_solver='auto' (no silent downgrade)."""
+    from sigkernel_tpu.ops import solve as solve_mod
+    from sigkernel_tpu.ops.routes import resolve_inc_route
+
+    monkeypatch.setattr(pallas_blocked, "MAX_ROWS", 16)
+    monkeypatch.setattr(pallas_blocked, "ADJ_ROWS", 16)
+    monkeypatch.setattr(solve_mod, "_resolve", lambda *a: "pallas_blocked")
+    inc = jnp.asarray(rng.normal(size=(2, 10, 8)) * 0.1)
+    assert resolve_inc_route(inc, "auto", 1, "auto").bwd == "striped_df"
+
+    def loss(i):
+        return solve_mod.solve(i, dyadic_order=1).sum()
+
+    v, got = jax.value_and_grad(loss)(inc)
+
+    def loss_scan(i):
+        return solve_mod.solve(i, solver="scan", dyadic_order=1).sum()
+
+    v0, want = jax.value_and_grad(loss_scan)(inc)
+    np.testing.assert_allclose(float(v), float(v0), rtol=1e-9)
+    scale = max(np.abs(np.asarray(want)).max(), 1e-30)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-9 * scale, rtol=0)

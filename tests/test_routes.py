@@ -54,7 +54,9 @@ _INC_MATRIX = [
     ("pallas_blocked", False, False, "f32", _P64,
      IncRoute("pallas_blocked", None, "striped")),
     ("pallas_blocked", False, False, "df64", _P64,
-     IncRoute("pallas_blocked", None, "grid")),
+     IncRoute("pallas_blocked", None, "striped_df")),
+    ("pallas_blocked", False, False, "auto", _P64,
+     IncRoute("pallas_blocked", None, "striped_df")),
     ("pallas_blocked", False, False, "auto", _P32,
      IncRoute("pallas_blocked", None, "striped")),
     ("scan", False, False, "auto", _P64, IncRoute("scan", None, "grid")),
@@ -70,10 +72,12 @@ def test_inc_route_matrix(monkeypatch, tier, pg, sg, gs, probe, want):
     assert got[:3] == want[:3]
 
 
-def test_inc_route_blocked_auto_f64_warns(monkeypatch):
+def test_inc_route_blocked_auto_f64_honest(monkeypatch):
+    """f64 increments beyond VMEM get the f64-grade striped adjoint under
+    'auto' -- never a silent downgrade to f32 grade."""
     monkeypatch.setattr(solve_mod, "_resolve", lambda *a: "pallas_blocked")
     r = resolve_inc_route(_P64, "auto", 1, "auto")
-    assert r.bwd == "striped" and r.warn  # silent degrade is forbidden
+    assert r.bwd == "striped_df" and r.warn is None
 
 
 _DF_MATRIX = [
