@@ -267,6 +267,244 @@ def _solve_one(incs, dyadic_order=0):
             _extract_final(outs, row_axis, MM, B))
 
 
+def _deriv_kernel_df(uh_hbm, ul_hbm, udh_hbm, udl_hbm, ush_hbm, usl_hbm,
+                     outk_ref, outd_ref, outs_ref, st, ib, isem, carry,
+                     *, n_steps, MM, row_axis, refine=1):
+    """Double-double triple wavefront: the f64-grade tier of the fused
+    derivatives solve (reference spec: the f64 Cython derivatives at
+    sigkernel/cython_backend.pyx:122-176). All three states and the
+    product-rule recurrences run in (hi, lo) double-float pairs.
+
+    ``st``: (6, 2, *slab) state planes ((K, D, S) x (hi, lo), ping-pong in
+    the second axis); ``ib``: (6, 2, T, *slab) stream landing buffers in
+    the same (plane-major) order; ``carry``: (6, *slab) previous-diagonal
+    carries for the in-kernel refinement select. Outputs are the hi+lo
+    final slabs summed in f32 pairs (caller combines to f64).
+    """
+    from .pallas_df64 import (_df_add, _df_mul, _df_mul_const, _df_scheme)
+
+    T = DMA_BATCH
+    f = refine
+    slab = st.shape[2:]
+    n_slots = pl.cdiv(n_steps, f) if f > 1 else n_steps
+    n_batches = pl.cdiv(n_slots, T)
+    in_off = IN_OFF if f == 1 else 0
+    ii = lax.broadcasted_iota(jnp.int32, slab, row_axis)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+
+    hbms = (uh_hbm, ul_hbm, udh_hbm, udl_hbm, ush_hbm, usl_hbm)
+    for pidx in range(6):
+        init = one if pidx == 0 else zero   # K hi = 1; everything else 0
+        st[pidx, 0] = jnp.full(slab, init, jnp.float32)
+        st[pidx, 1] = jnp.full(slab, init, jnp.float32)
+
+    def in_copies(b, slot):
+        ds = pl.ds(_ix(b * T + in_off), T)
+        return tuple(
+            pltpu.make_async_copy(hbms[pidx].at[ds],
+                                  ib.at[_ix(pidx), _ix(slot)],
+                                  isem.at[_ix(2 * pidx + slot)])
+            for pidx in range(6))
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def roll(x):
+        return pltpu.roll(x, jnp.int32(1), axis=row_axis)
+
+    def rollp(p):
+        return roll(p[0]), roll(p[1])
+
+    def step(q, u, ud, us, vm2, vm1):
+        k10 = (st[0, vm1], st[1, vm1])
+        p2k = (st[0, vm2], st[1, vm2])
+        d10 = (st[2, vm1], st[3, vm1])
+        p2d = (st[2, vm2], st[3, vm2])
+        s10 = (st[4, vm1], st[5, vm1])
+        p2s = (st[4, vm2], st[5, vm2])
+        k01, k00 = rollp(k10), rollp(p2k)
+        d01, d00 = rollp(d10), rollp(p2d)
+        s01, s00 = rollp(s10), rollp(p2s)
+
+        k = _df_scheme(k00[0], k00[1], k01[0], k01[1], k10[0], k10[1],
+                       u[0], u[1], False)
+
+        def mul(a, b):
+            return _df_mul(a[0], a[1], b[0], b[1])
+
+        def add(a, b):
+            return _df_add(a[0], a[1], b[0], b[1])
+
+        def sub(a, b):
+            return _df_add(a[0], a[1], -b[0], -b[1])
+
+        def scale(a, c):
+            return _df_mul_const(a[0], a[1], c)
+
+        f1 = add(mul(k00, ud), mul(d00, u))
+        f2 = add(mul(k01, ud), mul(d01, u))
+        f3 = add(mul(k10, ud), mul(d10, u))
+        dsum = sub(add(d01, d10), d00)
+        f4 = add(mul(k, ud), mul(add(dsum, f1), u))
+        d = add(dsum, scale(add(add(f1, f2), add(f3, f4)), 0.25))
+
+        g1 = add(add(mul(k00, us), scale(mul(d00, ud), 2.0)), mul(s00, u))
+        g2 = add(add(mul(k01, us), scale(mul(d01, ud), 2.0)), mul(s01, u))
+        g3 = add(add(mul(k10, us), scale(mul(d10, ud), 2.0)), mul(s10, u))
+        ssum = sub(add(s01, s10), s00)
+        g4 = add(add(mul(k, us), scale(mul(d, ud), 2.0)),
+                 mul(add(ssum, g1), u))
+        sv = add(ssum, scale(add(add(g1, g2), add(g3, g4)), 0.25))
+
+        bnd = (ii == 0) | (ii == q + 2) | (ii > MM)
+        outs = ((jnp.where(bnd, one, k[0]), jnp.where(bnd, zero, k[1])),
+                (jnp.where(bnd, zero, d[0]), jnp.where(bnd, zero, d[1])),
+                (jnp.where(bnd, zero, sv[0]), jnp.where(bnd, zero, sv[1])))
+        for pidx, pair in enumerate(outs):
+            st[2 * pidx, vm2] = pair[0]
+            st[2 * pidx + 1, vm2] = pair[1]
+
+    def body(b, _):
+        bslot = lax.rem(b, jnp.int32(2))
+
+        @pl.when(b + 1 < n_batches)
+        def _():
+            for c in in_copies(b + 1, 1 - bslot):
+                c.start()
+
+        for c in in_copies(b, bslot):
+            c.wait()
+
+        for t in range(T):
+            if f == 1:
+                q = b * T + t
+
+                @pl.when(q < n_steps)
+                def _(q=q, t=t):
+                    step(q, (ib[0, bslot, t], ib[1, bslot, t]),
+                         (ib[2, bslot, t], ib[3, bslot, t]),
+                         (ib[4, bslot, t], ib[5, bslot, t]),
+                         t % 2, 1 - t % 2)
+            else:
+                kk = b * T + t
+                for s_i in range(f):
+                    q = kk * f + s_i
+                    sp = s_i % 2   # == q % 2 (f even)
+
+                    @pl.when(q < n_steps)
+                    def _(q=q, t=t, s_i=s_i, sp=sp):
+                        sel = lax.rem(ii, jnp.int32(f)) <= s_i
+
+                        def take(pidx):
+                            prev = (carry[pidx] if t == 0
+                                    else ib[pidx, bslot, t - 1])
+                            pre = jnp.where(sel, ib[pidx, bslot, t], prev)
+                            return roll(pre)
+
+                        step(q, (take(0), take(1)), (take(2), take(3)),
+                             (take(4), take(5)), sp, 1 - sp)
+        if f > 1:
+            for pidx in range(6):
+                carry[pidx] = ib[pidx, bslot, T - 1]
+        return 0
+
+    lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), body, 0)
+
+    last = (n_steps - 1) % 2
+    outk_ref[0], outk_ref[1] = st[0, last], st[1, last]
+    outd_ref[0], outd_ref[1] = st[2, last], st[3, last]
+    outs_ref[0], outs_ref[1] = st[4, last], st[5, last]
+
+
+def _solve_one_df(incs, dyadic_order=0):
+    from .pallas_solver import (_layout, _stretch_stream,
+                                _aligned_streams_ps, _use_aligned)
+    from .pallas_df64 import _split_hi_lo
+
+    u64, ud64, us64 = incs
+    f = 2 ** dyadic_order
+    B, Mb, Nb = u64.shape
+    MM, NN = Mb * f, Nb * f
+    n_steps = MM + NN - 1
+    row_axis, slab, _ = _layout(B, MM)
+
+    comps = []
+    for a in (u64, ud64, us64):
+        hi, lo = _split_hi_lo(a)
+        comps += [hi, lo]
+    if f == 1:
+        if _use_aligned(B, slab, row_axis):
+            streams = _aligned_streams_ps(comps, 1, DMA_BATCH, slab)
+        else:
+            s0, n_steps, row_axis, slab = _pad_shear(comps[0], DMA_BATCH)
+            streams = [s0] + [_pad_shear(c, DMA_BATCH)[0]
+                              for c in comps[1:]]
+    else:
+        sc = jnp.float32(1.0 / (f * f))
+        scaled = [c * sc for c in comps]
+        if _use_aligned(B, slab, row_axis):
+            streams = _aligned_streams_ps(scaled, f, DMA_BATCH, slab)
+        else:
+            streams = [_stretch_stream(c, f, DMA_BATCH, row_axis, slab)
+                       for c in scaled]
+
+    kernel = functools.partial(_deriv_kernel_df, n_steps=n_steps, MM=MM,
+                               row_axis=row_axis, refine=f)
+    outk, outd, outs = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((2,) + slab, jnp.float32),) * 3,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 6,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((6, 2) + slab, jnp.float32),
+            pltpu.VMEM((6, 2, DMA_BATCH) + slab, jnp.float32),
+            pltpu.SemaphoreType.DMA((12,)),
+            pltpu.VMEM((6,) + slab, jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(*streams)
+
+    def fin(o):
+        h = _extract_final(o[0], row_axis, MM, B)
+        l = _extract_final(o[1], row_axis, MM, B)
+        return h.astype(jnp.float64) + l.astype(jnp.float64)
+
+    return fin(outk), fin(outd), fin(outs)
+
+
+@functools.partial(jax.jit, static_argnames=("dyadic_order",))
+def solve_derivatives_final_df(inc, inc_d, inc_dd, dyadic_order: int = 0):
+    """f64-grade fused Pallas triple solve on f64 base increment grids.
+
+    Double-float counterpart of :func:`solve_derivatives_final` (all three
+    states in (hi, lo) pairs; ~6x the f32 tier's op count, still orders of
+    magnitude above the scan tier's emulated-f64 XLA path on TPU).
+    Returns three f64 arrays with the batch shape.
+    """
+    batch_shape = inc.shape[:-2]
+    f = 2 ** dyadic_order
+    Mb, Nb = inc.shape[-2], inc.shape[-1]
+    MM, NN = Mb * f, Nb * f
+    import math
+    B = math.prod(batch_shape)
+
+    def flat(a):
+        return a.reshape((B, Mb, Nb)).astype(jnp.float64)
+
+    u3, ud3, us3 = flat(inc), flat(inc_d), flat(inc_dd)
+    if MM + 1 > MAX_ROWS:  # transpose covariance (01/10-symmetric updates)
+        u3, ud3, us3 = (jnp.swapaxes(a, -1, -2) for a in (u3, ud3, us3))
+        MMs, NNs = NN, MM
+    else:
+        MMs, NNs = MM, NN
+    outs = _chunk_map(
+        functools.partial(_solve_one_df, dyadic_order=dyadic_order),
+        (u3, ud3, us3), max(pair_chunk(MMs, NNs, planes=12) // 2, 8))
+    return tuple(o.reshape(batch_shape) for o in outs)
+
+
 @functools.partial(jax.jit, static_argnames=("dyadic_order",))
 def solve_derivatives_final(inc: jnp.ndarray, inc_d: jnp.ndarray,
                             inc_dd: jnp.ndarray, dyadic_order: int = 0):

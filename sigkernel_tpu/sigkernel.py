@@ -791,16 +791,21 @@ def sig_kernel_and_derivatives_gram(static_kernel, X, Y, gamma,
     probe = jax.ShapeDtypeStruct(
         dd.shape[:-2] + (dd.shape[-2] * f, dd.shape[-1] * f), dd.dtype)
     use_pallas = (solver == "pallas"
-                  or (solver == "auto" and dd.dtype == jnp.float32
+                  or (solver == "auto"
                       and pallas_derivatives.supported(probe)))
     if use_pallas:
         if not pallas_derivatives.supported(probe):
             raise ValueError(
                 "solver='pallas' derivatives require a TPU backend and a "
                 f"refined grid whose shorter side fits {probe.shape[-2:]}")
+        if dd.dtype == jnp.float64:
+            # f64-grade double-float triple wavefront (reference parity:
+            # the Cython derivatives are f64, cython_backend.pyx:122-176)
+            K, Kd, Kdd = pallas_derivatives.solve_derivatives_final_df(
+                dd, dd_d, dd_dd, dyadic_order=dyadic_order)
+            return K, Kd, Kdd
         # f32 tier (matching the Pallas forward tier; base grids stream,
-        # refinement happens in-kernel); f64-grade derivative solves stay
-        # on the scan tier
+        # refinement happens in-kernel)
         K, Kd, Kdd = pallas_derivatives.solve_derivatives_final(
             dd, dd_d, dd_dd, dyadic_order=dyadic_order)
         return (K.astype(G.dtype), Kd.astype(G.dtype), Kdd.astype(G.dtype))
@@ -839,26 +844,41 @@ def sig_distance(static_kernel, X, Y, dyadic_order=0, naive=False,
     return jnp.mean(k_xx) + jnp.mean(k_yy) - 2.0 * jnp.mean(k_xy)
 
 
-def sig_scoring_rule(static_kernel, X, y, dyadic_order=0, naive=False,
-                     solver="auto", max_batch: Optional[int] = 100,
-                     grad_solver="auto"):
-    """Scoring rule ``E[k(X,X)] - 2 E[k(X,y)]`` with unbiased diagonal removal."""
+def _scoring_core(static_kernel, X, Y2, dyadic_order, naive, solver,
+                  max_batch, grad_solver, pair_chunk):
+    """``offdiag_mean(K_XX) - 2 mean(K_XY2)`` -- the shared body of both
+    scoring rules; takes the bounded-memory lincomb path when a batch
+    exceeds ``max_batch`` (grads are one chunk's stack at any size)."""
+    n, m = X.shape[0], Y2.shape[0]
+    if max_batch is not None and (n > max_batch or m > max_batch):
+        kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
+                  grad_solver=grad_solver, pair_chunk=pair_chunk)
+        dt = X.dtype
+        s_xx = sig_gram_lincomb(static_kernel, X, X, _offdiag_w(n, dt),
+                                sym=True, **kw)
+        w_xy = jnp.full((n, m), -2.0 / (n * m), dt)
+        return s_xx + sig_gram_lincomb(static_kernel, X, Y2, w_xy, **kw)
     kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
               max_batch=max_batch, grad_solver=grad_solver)
     K_XX = sig_gram(static_kernel, X, X, sym=True, **kw)
-    K_Xy = sig_gram(static_kernel, X, y, sym=False, **kw)
-    return _offdiag_mean(K_XX) - 2.0 * jnp.mean(K_Xy)
+    K_XY = sig_gram(static_kernel, X, Y2, sym=False, **kw)
+    return _offdiag_mean(K_XX) - 2.0 * jnp.mean(K_XY)
+
+
+def sig_scoring_rule(static_kernel, X, y, dyadic_order=0, naive=False,
+                     solver="auto", max_batch: Optional[int] = 100,
+                     grad_solver="auto", pair_chunk: int = 128):
+    """Scoring rule ``E[k(X,X)] - 2 E[k(X,y)]`` with unbiased diagonal removal."""
+    return _scoring_core(static_kernel, X, y, dyadic_order, naive, solver,
+                         max_batch, grad_solver, pair_chunk)
 
 
 def sig_expected_scoring_rule(static_kernel, X, Y, dyadic_order=0, naive=False,
                               solver="auto", max_batch: Optional[int] = 100,
-                     grad_solver="auto"):
+                              grad_solver="auto", pair_chunk: int = 128):
     """Expected scoring rule ``E_Y[S(X, y)]``."""
-    kw = dict(dyadic_order=dyadic_order, naive=naive, solver=solver,
-              max_batch=max_batch, grad_solver=grad_solver)
-    K_XX = sig_gram(static_kernel, X, X, sym=True, **kw)
-    K_XY = sig_gram(static_kernel, X, Y, sym=False, **kw)
-    return _offdiag_mean(K_XX) - 2.0 * jnp.mean(K_XY)
+    return _scoring_core(static_kernel, X, Y, dyadic_order, naive, solver,
+                         max_batch, grad_solver, pair_chunk)
 
 
 def _offdiag_w(n, dtype):

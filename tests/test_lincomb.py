@@ -108,3 +108,23 @@ def test_lincomb_jits(data):
                                            pair_chunk=6))
     v, g = jax.value_and_grad(f)(X)
     assert np.isfinite(float(v)) and np.all(np.isfinite(np.asarray(g)))
+
+
+def test_scoring_rules_chunked_match_direct(rng):
+    from sigkernel_tpu.sigkernel import (sig_scoring_rule,
+                                         sig_expected_scoring_rule)
+
+    X = jnp.asarray(make_paths(rng, 6, 6, 2, scale=0.6))
+    y = jnp.asarray(make_paths(rng, 4, 6, 2, scale=0.6))
+    k = sk.RBFKernel(0.8)
+    for fn in (sig_scoring_rule, sig_expected_scoring_rule):
+        direct = fn(k, X, y, dyadic_order=1, max_batch=100)
+        chunked = fn(k, X, y, dyadic_order=1, max_batch=2, pair_chunk=5)
+        np.testing.assert_allclose(float(chunked), float(direct),
+                                   rtol=1e-12)
+        gd = jax.grad(lambda x: fn(k, x, y, dyadic_order=1,
+                                   max_batch=100))(X)
+        gc = jax.grad(lambda x: fn(k, x, y, dyadic_order=1, max_batch=2,
+                                   pair_chunk=5))(X)
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(gd),
+                                   rtol=1e-9, atol=1e-12)

@@ -123,3 +123,24 @@ def test_derivatives_windowed_bitexact(rng, monkeypatch):
     win = [np.asarray(x) for x in pd._solve_one((u, ud, us), 1)]
     for w, f_ in zip(win, full):
         np.testing.assert_array_equal(w, f_)
+
+
+@pytest.mark.parametrize("dyadic", [0, 1, 2])
+def test_df_derivatives_match_scan_f64(rng, dyadic):
+    """f64-grade double-float triple wavefront vs the f64 scan oracle:
+    must agree to f64 grade (~1e-12), not f32 (~1e-6)."""
+    from sigkernel_tpu.utils import dyadic_refine
+
+    B, Mb, Nb = 3, 7, 9
+    u = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1)
+    ud = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1)
+    us = jnp.asarray(rng.normal(size=(B, Mb, Nb)) * 0.1)
+    got = pallas_derivatives.solve_derivatives_final_df(
+        u, ud, us, dyadic_order=dyadic)
+    want = scan_solver.solve_derivatives_final(
+        dyadic_refine(u, dyadic), dyadic_refine(ud, dyadic),
+        dyadic_refine(us, dyadic))
+    for g, w in zip(got, want):
+        scale = max(np.abs(np.asarray(w)).max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   atol=1e-11 * scale, rtol=0)
