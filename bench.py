@@ -1,9 +1,14 @@
 """Benchmark: Gram path-pairs/sec, forward + backward (adjoint), on one chip.
 
-Headline config from BASELINE.json: length 1024, dyadic_order 1
-(refined grid 2046 x 2046), float64 precision, RBF static kernel. The f64
-path runs on the double-double Pallas kernel (f64-grade accuracy on the f32
-VPU; Mosaic has no native f64).
+Headline config = the BASELINE.json north star: a batch-100 x batch-100
+Gram (10,000 path pairs) with a weighted-sum (MMD-style) backward, length
+1024, dyadic_order 1 (refined grid 2046 x 2046), float64 inputs, RBF
+static kernel, f32-grade gradients. It runs through ``sig_gram_lincomb``:
+pairs solve 128 at a time under one scan and each chunk's adjoint consumes
+its forward stack inside its own iteration, so the whole 10k-pair backward
+fits one HBM (round 3 could only measure a single 128-pair chunk). The f64
+forward runs on the in-kernel-generation double-double Pallas kernel
+(f64-grade accuracy on the f32 VPU; Mosaic has no native f64).
 
 The reference's CUDA backend cannot run this config at all (hard
 ``max(MM+1, NN+1) < 1024`` thread assert, reference sigkernel/sigkernel.py:222),
@@ -38,18 +43,15 @@ A100_MODEL_PAIRS_PER_S = 19000.0
 LENGTH = int(os.environ.get("SIGBENCH_LENGTH", 1024))
 DYADIC = int(os.environ.get("SIGBENCH_DYADIC", 1))
 DIM = 3
-# 8x16 Gram = 128 path pairs = exactly one shared pair-chunk: the
-# stack-sharing fwd+bwd holds a single 4.3 GB forward stack (two chunks'
-# stacks must both live as custom_vjp residuals and, with XLA's ~44%
-# HBM fragmentation at this size, OOM at compile -- measured round 3;
-# multi-chunk Grams take the sparse-ckpt residual route instead). The
-# BASELINE north star is batch-100 Grams (10k pairs); 128-pair chunks are
-# also what unlocks the aligned (512-byte-shift) stream construction --
-# see ops/pallas_solver.ALIGNED_MIN_PAIR_BYTES.
+# batch-100 x batch-100 = 10,000 pairs (the BASELINE north star), solved
+# 128 pairs per scan iteration (PAIR_CHUNK = one shared plane-kernel stack
+# chunk, ~4.3 GB of residual alive at a time -- the eager per-chunk
+# adjoint of sig_gram_lincomb frees it before the next chunk's forward)
 PAIRS_A = int(os.environ.get("SIGBENCH_PAIRS_A",
-                             os.environ.get("SIGBENCH_PAIRS", 8)))
+                             os.environ.get("SIGBENCH_PAIRS", 100)))
 PAIRS_B = int(os.environ.get("SIGBENCH_PAIRS_B",
-                             os.environ.get("SIGBENCH_PAIRS", 16)))
+                             os.environ.get("SIGBENCH_PAIRS", 100)))
+PAIR_CHUNK = int(os.environ.get("SIGBENCH_PAIR_CHUNK", 128))
 DTYPE = "float64"
 
 
@@ -74,6 +76,8 @@ def main():
                     * (1.0 / np.sqrt(LENGTH)), dtype=dtype)
     kernel = sk.RBFKernel(1.0)
 
+    W = jnp.full((PAIRS_A, PAIRS_B), 1.0 / (PAIRS_A * PAIRS_B), dtype)
+
     def fwd_bwd(X, Y):
         def loss(x):
             # grad_solver="f32": the headline metric is defined with the
@@ -83,9 +87,10 @@ def main():
             # (reference sigkernel/sigkernel.py:229). The library DEFAULT
             # for f64 inputs is the honest f64-grade backward
             # (grad_solver="auto"); this benchmark explicitly opts down.
-            K = sk.sig_gram(kernel, x, Y, dyadic_order=DYADIC,
-                            max_batch=None, grad_solver="f32")
-            return K.sum()
+            return sk.sig_gram_lincomb(kernel, x, Y, W,
+                                       dyadic_order=DYADIC,
+                                       grad_solver="f32",
+                                       pair_chunk=PAIR_CHUNK)
         return jax.value_and_grad(loss)(X)
 
     pairs = PAIRS_A * PAIRS_B
@@ -125,6 +130,12 @@ def main():
     dt = min(dts)
     pairs_per_s = emit(dt)      # bank the single-step number immediately
 
+    if dt > 1.0:
+        # big config: the relay's ~27 ms dispatch is <3% of a step, so the
+        # pipelined protocol buys nothing and costs PIPE x the wall time
+        _secondary(sk, kernel, X, Y, W, pairs, pairs_per_s)
+        return
+
     # Pipelined steady-state throughput: PIPE steps chained inside one jit
     # with per-step input variation (each step's inputs depend on the
     # previous step's outputs, so nothing can be memoized or elided), one
@@ -159,60 +170,89 @@ def main():
         dt = dt_pipe
         pairs_per_s = emit(dt)
 
-    # Secondary metric: matched-precision (f32 inputs end to end) at the
-    # same config -- the measured counterpart of the hardware-asymmetry
-    # argument (TPU v5e has no f64 units; the reference CUDA kernel is f32
-    # compute too). Written to BENCH_SECONDARY.json, NOT stdout: the driver
-    # contract is one JSON line.
-    # only at the real benchmark config: smoke-test runs (tiny sizes, see
-    # tests/test_bench_smoke.py) must not clobber the driver-visible artifact
+    _secondary(sk, kernel, X, Y, W, pairs, pairs_per_s)
+
+
+def _secondary(sk, kernel, X, Y, W, pairs, pairs_per_s):
+    """Matched-precision (f32 end-to-end) metric at the same config.
+
+    The f32 route is the in-kernel-generation gen32 family (f32 generation
+    + f32 plane sweep + f32 gen adjoint) -- the measured counterpart of the
+    hardware-asymmetry argument (TPU v5e has no f64 units; the reference
+    CUDA kernel is f32 compute too). Written to BENCH_SECONDARY.json, NOT
+    stdout: the driver contract is one JSON line. Runs AFTER the headline
+    was printed, so its compiles/hangs can't sink the headline.
+    """
+    import jax
+    import jax.numpy as jnp
+
     emit_secondary = bool(LENGTH >= 1024
                           or os.environ.get("SIGBENCH_FORCE_SECONDARY"))
-    f32_pairs_per_s = None
     try:
         if not emit_secondary:
             raise RuntimeError("smoke config: secondary metric skipped")
         Xf = X.astype(jnp.float32)
         Yf = Y.astype(jnp.float32)
+        Wf = W.astype(jnp.float32)
 
-        def fwd_bwd32(X, Y):
+        def fwd_bwd32(X):
             def loss(x):
-                K = sk.sig_gram(kernel, x, Y, dyadic_order=DYADIC,
-                                max_batch=None)
-                return K.sum()
+                return sk.sig_gram_lincomb(kernel, x, Yf, Wf,
+                                           dyadic_order=DYADIC,
+                                           pair_chunk=PAIR_CHUNK)
             return jax.value_and_grad(loss)(X)
 
-        def pipe32(X, Y):
-            def one(carry, i):
-                x, acc = carry
-                s = 1.0 + 1e-4 * (i + 1) + 1e-6 * acc
-                v, g = fwd_bwd32(x * s, Y * s)
-                return (x + 1e-6 * g, acc + 1e-8 * v), v
-
-            (_, _), vs = jax.lax.scan(one, (X, jnp.float32(0.0)),
-                                      jnp.arange(PIPE))
-            return vs
-
-        p32 = jax.jit(pipe32)
-        float(p32(Xf, Yf).sum())
+        s32 = jax.jit(fwd_bwd32)
+        v, g = s32(Xf)
+        float(v), float(g.sum())
         dts32 = []
-        for i in range(2):
+        for i in range(3):
             Xi = Xf * (1.0 + 1e-4 * (i + 1))
             jax.block_until_ready(Xi)
             t0 = time.perf_counter()
-            _ = float(p32(Xi, Yf).sum())
-            dts32.append((time.perf_counter() - t0) / PIPE)
+            v, g = s32(Xi)
+            _ = float(v) + float(g.sum())
+            dts32.append(time.perf_counter() - t0)
         f32_pairs_per_s = pairs / min(dts32)
+        sec = {
+            "f64_input_f32_grade_bwd_pairs_per_sec": round(pairs_per_s, 3),
+            "f32_matched_precision_pairs_per_sec":
+                round(f32_pairs_per_s, 3),
+            "f32_vs_f64_grade_ratio":
+                round(f32_pairs_per_s / pairs_per_s, 3),
+            "config": {"length": LENGTH, "dyadic_order": DYADIC,
+                       "dim": DIM, "pairs": pairs,
+                       "pair_chunk": PAIR_CHUNK},
+        }
         sec_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                 "BENCH_SECONDARY.json")
         with open(sec_path, "w") as f:
-            json.dump({
-                "f64_input_f32_grade_bwd_pairs_per_sec": round(pairs_per_s, 3),
-                "f32_matched_precision_pairs_per_sec":
-                    round(f32_pairs_per_s, 3),
-                "config": {"length": LENGTH, "dyadic_order": DYADIC,
-                           "dim": DIM, "pairs": pairs},
-            }, f, indent=1)
+            json.dump(sec, f, indent=1)
+
+        # default-path number: what a naive f64 user gets (grad_solver
+        # "auto" = the honest f64-grade backward, ~3x backward cost)
+        def fwd_bwd_def(X):
+            def loss(x):
+                return sk.sig_gram_lincomb(kernel, x, Y, W,
+                                           dyadic_order=DYADIC,
+                                           pair_chunk=PAIR_CHUNK)
+            return jax.value_and_grad(loss)(X)
+
+        sdef = jax.jit(fwd_bwd_def)
+        v, g = sdef(X)
+        float(v), float(g.sum())
+        dtsd = []
+        for i in range(2):
+            Xi = X * (1.0 + 1e-6 * (i + 1))
+            jax.block_until_ready(Xi)
+            t0 = time.perf_counter()
+            v, g = sdef(Xi)
+            _ = float(v) + float(g.sum())
+            dtsd.append(time.perf_counter() - t0)
+        sec["f64_default_grade_bwd_pairs_per_sec"] = round(
+            pairs / min(dtsd), 3)
+        with open(sec_path, "w") as f:
+            json.dump(sec, f, indent=1)
     except Exception:
         pass  # the secondary metric must never sink the headline line
 
