@@ -160,3 +160,38 @@ def sharded_sig_gram_2d(static_kernel, X, Y, mesh: Mesh, dyadic_order=0,
                         max_batch=max_batch)
 
     return run(Xp, Yp)[:bx, :by]
+
+
+def sharded_sig_gram_lincomb(static_kernel, X, Y, W, mesh: Mesh,
+                             dyadic_order=0, naive=False, solver="auto",
+                             axis="data", grad_solver="auto",
+                             pair_chunk: int = 128):
+    """Scalar ``sum(W * Gram)`` with rows sharded across ``mesh[axis]``.
+
+    The multi-chip version of the bounded-memory benchmark primitive
+    (:func:`..sigkernel.sig_gram_lincomb`): each chip runs its own
+    chunked eager-gradient scan over its row-block of the pair grid
+    (one chunk's forward stack alive per chip) and the scalar is
+    ``psum``-reduced over ICI. Differentiable end to end: X-row grads
+    stay sharded, Y/W grads flow through the replicated operands (AD of
+    ``shard_map`` inserts the psum). The full Gram never exists anywhere.
+    """
+    from ..sigkernel import sig_gram_lincomb
+
+    solver = _mesh_solver(mesh, solver)
+    n = mesh.shape[axis]
+    Xp, bx = _pad_rows(X, n)
+    A_pad = Xp.shape[0]
+    # zero weights for padded rows: exact no-ops in the lincomb
+    Wp = jnp.zeros((A_pad, W.shape[1]), W.dtype).at[:W.shape[0]].set(W)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(P(axis), P(), P(axis)), out_specs=P())
+    def run(x_loc, y_all, w_loc):
+        s = sig_gram_lincomb(static_kernel, x_loc, y_all, w_loc,
+                             dyadic_order=dyadic_order, naive=naive,
+                             solver=solver, grad_solver=grad_solver,
+                             pair_chunk=pair_chunk)
+        return lax.psum(s, axis)
+
+    return run(Xp, Y, Wp)

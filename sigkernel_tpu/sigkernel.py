@@ -283,8 +283,12 @@ def _rbf_gen_bwd(gram, naive, dyadic_order, res, g):
     static_kernel, x, y, stk, hi = res
     gf = g.reshape(-1).astype(jnp.float32)
     if hi is None:
+        # f32 reverse-stream regeneration (gen32): the gen adjoint's sweep
+        # is f32 either way and the gradient contract is f32-grade; DF
+        # regeneration only bought bit-equality with the streamed route at
+        # ~10x the generation ops. The forward stack layout is identical.
         Xp, Yp = _expand_pairs(x, y, gram)
-        ct = pallas_adjoint.adjoint_planes_collapsed_gen(
+        ct = pallas_adjoint.adjoint_planes_collapsed_gen32(
             Xp, Yp, static_kernel.sigma, gf, naive=naive,
             dyadic_order=dyadic_order, fwd_stack=stk)
     else:
@@ -618,13 +622,16 @@ def _gram_lincomb(static_kernel, X, Y, W, sym, dyadic_order, naive, solver,
     ii, jj, w = _lincomb_pairs(X.shape[0], Y.shape[0], W, sym)
     iic, jjc, wc, P = _lincomb_chunks(ii, jj, w, chunk)
     acc_dtype = jnp.result_type(W.dtype, X.dtype)
+    # exact zero DERIVED FROM X: under shard_map the scan carry must have
+    # X's varying manual axes or the carry types mismatch (see CLAUDE.md)
+    vma0 = jnp.sum(X[:0]).astype(acc_dtype)
 
     def body(acc, args):
         ic, jc, wci = args
         v = sig_kernel(static_kernel, X[ic], Y[jc], **kw)
         return acc + jnp.sum(wci * v.astype(acc_dtype)), None
 
-    S, _ = lax.scan(body, jnp.zeros((), acc_dtype), (iic, jjc, wc))
+    S, _ = lax.scan(body, jnp.zeros((), acc_dtype) + vma0, (iic, jjc, wc))
     return S
 
 
@@ -641,9 +648,14 @@ def _gram_lincomb_fwd(static_kernel, X, Y, W, sym, dyadic_order, naive,
     iic, jjc, wc, P = _lincomb_chunks(ii, jj, w, chunk)
     acc_dtype = jnp.result_type(W.dtype, X.dtype)
 
+    # exact zero derived from X: scan carries need X's varying manual
+    # axes under shard_map (empty-slice sum is 0 with X's vma type)
+    vma0 = jnp.sum(X[:0]).astype(acc_dtype)
+
     def tree_zeros(t):
         return jax.tree.map(
-            lambda l: jnp.zeros_like(jnp.asarray(l, acc_dtype)), t)
+            lambda l: (jnp.zeros_like(jnp.asarray(l, acc_dtype))
+                       + vma0), t)
 
     def tree_add(a, b):
         return jax.tree.map(lambda x, y: x + y.astype(x.dtype), a, b)
@@ -658,11 +670,13 @@ def _gram_lincomb_fwd(static_kernel, X, Y, W, sym, dyadic_order, naive,
 
         s_c, vjpf, v_c = jax.vjp(chunk_loss, static_kernel, X, Y,
                                  has_aux=True)
-        dk, dX, dY = vjpf(jnp.ones((), s_c.dtype))
+        # cotangent 1 with s_c's exact type (incl. varying manual axes)
+        dk, dX, dY = vjpf(jnp.ones((), s_c.dtype) + vma0.astype(s_c.dtype))
         return (S + s_c, gX + dX.astype(gX.dtype),
                 gY + dY.astype(gY.dtype), tree_add(gk, dk)), v_c
 
-    init = (jnp.zeros((), acc_dtype), jnp.zeros_like(X), jnp.zeros_like(Y),
+    init = (jnp.zeros((), acc_dtype) + vma0, jnp.zeros_like(X),
+            jnp.zeros_like(Y) + vma0.astype(Y.dtype),
             tree_zeros(static_kernel))
     (S, gX, gY, gk), Kv = lax.scan(body, init, (iic, jjc, wc))
 

@@ -150,3 +150,26 @@ def test_gen32_family_resolution(rng, monkeypatch):
                           "auto", "auto", 1, gram=False) != "gen32"
     # explicit df64 gradients opt out of the f32 route
     assert resolve_family(k, X, X, "auto", "df64", 1, gram=False) != "gen32"
+
+
+@pytest.mark.parametrize("dims,dyadic", [((3, 8, 8), 1), ((2, 9, 6), 2)])
+def test_gen32_regen_matches_df_regen(rng, dims, dyadic):
+    """The f64 gen route's backward with f32 reverse-stream regeneration
+    vs DF regeneration: same f32 sweep, generation differs only by f32
+    rounding of the increments -> cotangents agree to f32 class."""
+    from sigkernel_tpu.ops import pallas_df64
+
+    B, M, N = dims
+    sigma = 0.9
+    Xp = jnp.asarray(make_paths(rng, B, M, 3, scale=0.5))
+    Yp = jnp.asarray(make_paths(rng, B, N, 3, scale=0.5))
+    g = jnp.asarray(rng.normal(size=(B,)), jnp.float32)
+    _, stk = pallas_df64.solve_final_df_gen_stack(
+        Xp, Yp, sigma, False, dyadic,
+        stack_pad=pallas_adjoint._pad_f_gen(2 ** dyadic), emit_inc=False)
+    want = np.asarray(pallas_adjoint.adjoint_planes_collapsed_gen(
+        Xp, Yp, sigma, g, False, dyadic, fwd_stack=stk))
+    got = np.asarray(pallas_adjoint.adjoint_planes_collapsed_gen32(
+        Xp, Yp, sigma, g, False, dyadic, fwd_stack=stk))
+    scale = max(np.abs(want).max(), 1e-30)
+    np.testing.assert_allclose(got, want, atol=5e-6 * scale, rtol=0)

@@ -118,3 +118,28 @@ def test_striped_solve_naive_scheme(rng, mesh):
     dist = np.asarray(striped_solve_final(inc, mesh=jax.sharding.Mesh(
         jax.devices()[:8], ("data",)), naive=True))
     np.testing.assert_array_equal(dist, local)
+
+
+def test_sharded_lincomb_matches_single_device(rng, mesh):
+    """Row-sharded sig_gram_lincomb == the single-device scalar, and the
+    sharded gradient (through shard_map + the per-chip eager chunk scans)
+    == the single-device gradient."""
+    import sigkernel_tpu as sk
+    from sigkernel_tpu.parallel import sharded_sig_gram_lincomb
+    from sigkernel_tpu.sigkernel import sig_gram_lincomb
+
+    X = jnp.asarray(make_paths(rng, 11, 6, 2, scale=0.5))  # pads to 16
+    Y = jnp.asarray(make_paths(rng, 5, 7, 2, scale=0.5))
+    W = jnp.asarray(rng.normal(size=(11, 5)))
+    k = sk.RBFKernel(0.9)
+    want = sig_gram_lincomb(k, X, Y, W, dyadic_order=1, pair_chunk=4)
+    got = sharded_sig_gram_lincomb(k, X, Y, W, mesh, dyadic_order=1,
+                                   pair_chunk=4)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-12)
+
+    gw = jax.grad(lambda x: sig_gram_lincomb(
+        k, x, Y, W, dyadic_order=1, pair_chunk=4))(X)
+    gg = jax.grad(lambda x: sharded_sig_gram_lincomb(
+        k, x, Y, W, mesh, dyadic_order=1, pair_chunk=4))(X)
+    np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), rtol=1e-9,
+                               atol=1e-12)
