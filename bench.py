@@ -54,6 +54,11 @@ PAIRS_B = int(os.environ.get("SIGBENCH_PAIRS_B",
 PAIR_CHUNK = int(os.environ.get("SIGBENCH_PAIR_CHUNK", 128))
 DTYPE = "float64"
 
+# The cached-best fallback is only meaningful at the real headline config:
+# a smoke run (overridden sizes) must never write -- or satisfy -- it.
+IS_HEADLINE_CONFIG = (LENGTH == 1024 and DYADIC == 1
+                      and PAIRS_A == 100 and PAIRS_B == 100)
+
 
 def main():
     import sigkernel_tpu as sk
@@ -127,8 +132,12 @@ def main():
         v, g = step(Xi, Yi)
         _sync = float(v) + float(g.sum())   # host fetch = true completion
         dts.append(time.perf_counter() - t0)
+        if i == 0:
+            emit(dts[0])    # bank a number after the FIRST timed step:
+            # the warm path runs ~5 min to this point and the watchdog
+            # attempt may have ~8; later iterations only improve the line
     dt = min(dts)
-    pairs_per_s = emit(dt)      # bank the single-step number immediately
+    pairs_per_s = emit(dt)
 
     if dt > 1.0:
         # big config: the relay's ~27 ms dispatch is <3% of a step, so the
@@ -272,6 +281,8 @@ def _load_best():
 
 def _persist_best(rec):
     """Keep the best real measurement seen this round as a fallback."""
+    if not IS_HEADLINE_CONFIG:
+        return  # smoke-config numbers must never pollute the cache
     prev = _load_best()
     if prev is None or rec.get("value", 0.0) > prev.get("value", 0.0):
         tmp = BEST_FILE + ".tmp"
@@ -351,7 +362,10 @@ def _run_with_watchdog():
     deadline = float(os.environ.get("SIGBENCH_DEADLINE_S", str(9 * 60)))
     margin = 10.0  # reserved for the fallback print path
     attempts = int(os.environ.get("SIGBENCH_ATTEMPTS", "2"))
-    per_cap = float(os.environ.get("SIGBENCH_TIMEOUT_S", str(8 * 60)))
+    # per-attempt cap defaults to the whole deadline: ONE full-length
+    # attempt (the warm path needs ~5-6 min to its first line); a second
+    # attempt only happens if the first dies quickly (wedged import)
+    per_cap = float(os.environ.get("SIGBENCH_TIMEOUT_S", str(deadline)))
     min_useful = 60.0  # less than this can't even import jax + dispatch
 
     for _ in range(attempts):
@@ -363,7 +377,7 @@ def _run_with_watchdog():
             _persist_best(rec)
             print(json.dumps(rec), flush=True)
             return
-    best = _load_best()
+    best = _load_best() if IS_HEADLINE_CONFIG else None
     if best is not None:
         best = dict(best)
         # machine-readable staleness marker: driver artifacts must be able
