@@ -239,27 +239,37 @@ def _secondary(sk, kernel, X, Y, W, pairs, pairs_per_s):
             json.dump(sec, f, indent=1)
 
         # default-path number: what a naive f64 user gets (grad_solver
-        # "auto" = the honest f64-grade backward, ~3x backward cost)
+        # "auto" = the honest f64-grade backward, ~3x backward cost).
+        # pair_chunk is QUARTERED: the df-grade backward carries hi+lo
+        # gen stacks plus fwd/reverse streams per chunk — measured XLA
+        # program HBM on the 16 GB chip (2026-08-19): 27.0 GB at 128
+        # pairs, 17.0 GB at 64; 32-pair chunks fit.
+        def_chunk = int(os.environ.get("SIGBENCH_DEFAULT_PAIR_CHUNK",
+                                       max(PAIR_CHUNK // 4, 1)))
+
         def fwd_bwd_def(X):
             def loss(x):
                 return sk.sig_gram_lincomb(kernel, x, Y, W,
                                            dyadic_order=DYADIC,
-                                           pair_chunk=PAIR_CHUNK)
+                                           pair_chunk=def_chunk)
             return jax.value_and_grad(loss)(X)
 
-        sdef = jax.jit(fwd_bwd_def)
-        v, g = sdef(X)
-        float(v), float(g.sum())
-        dtsd = []
-        for i in range(2):
-            Xi = X * (1.0 + 1e-6 * (i + 1))
-            jax.block_until_ready(Xi)
-            t0 = time.perf_counter()
-            v, g = sdef(Xi)
-            _ = float(v) + float(g.sum())
-            dtsd.append(time.perf_counter() - t0)
-        sec["f64_default_grade_bwd_pairs_per_sec"] = round(
-            pairs / min(dtsd), 3)
+        try:
+            sdef = jax.jit(fwd_bwd_def)
+            v, g = sdef(X)
+            float(v), float(g.sum())
+            dtsd = []
+            for i in range(2):
+                Xi = X * (1.0 + 1e-6 * (i + 1))
+                jax.block_until_ready(Xi)
+                t0 = time.perf_counter()
+                v, g = sdef(Xi)
+                _ = float(v) + float(g.sum())
+                dtsd.append(time.perf_counter() - t0)
+            sec["f64_default_grade_bwd_pairs_per_sec"] = round(
+                pairs / min(dtsd), 3)
+        except Exception as e:  # leave a machine-readable trace, not silence
+            sec["f64_default_grade_error"] = f"{type(e).__name__}: {e}"[:300]
         with open(sec_path, "w") as f:
             json.dump(sec, f, indent=1)
     except Exception:
