@@ -148,15 +148,34 @@ BENCHES = {
 }
 
 
+RESULTS_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "..", "BASELINE_RESULTS.json")
+
+
 def main():
-    names = sys.argv[1:] or list(BENCHES)
+    names = [a for a in sys.argv[1:] if not a.startswith("-")] \
+        or list(BENCHES)
+    write_json = "--json" in sys.argv[1:] \
+        or bool(os.environ.get("SIGBENCH_BASELINE_JSON"))
+
+    results = {"device": str(jax.devices()[0]),
+               "suite": {}}
 
     def report(metric, value, unit):
         print(json.dumps({"metric": metric, "value": round(value, 3),
                           "unit": unit}), flush=True)
+        results["suite"][metric] = {"value": round(value, 3), "unit": unit}
+        if write_json:  # bank incrementally: a crash keeps earlier configs
+            tmp = RESULTS_PATH + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(results, f, indent=1)
+            os.replace(tmp, RESULTS_PATH)
 
     for n in names:
-        BENCHES[n](report)
+        try:
+            BENCHES[n](report)
+        except Exception as e:  # machine-readable trace, never silence
+            report(n + "_error", 0.0, f"{type(e).__name__}: {e}"[:200])
 
 
 if __name__ == "__main__":

@@ -31,7 +31,9 @@ except Exception:
 sys.path.insert(0, os.path.join(os.path.dirname(
     os.path.abspath(__file__)), ".."))
 import sigkernel_tpu as sk
-from sigkernel_tpu.ops import scan_solver, solve as solve_mod
+from sigkernel_tpu.ops import (pallas_adjoint, pallas_blocked,
+                               pallas_derivatives, pallas_gen32,
+                               scan_solver, solve as solve_mod)
 from sigkernel_tpu.utils import dyadic_refine, double_difference
 
 print("devices:", jax.devices(), flush=True)
@@ -205,6 +207,49 @@ for dyd in (0, 1, 2):
             for gq, wq in zip(got, want)]
     print(f"df derivs dy={dyd} rels:", rels, flush=True)
     assert max(rels) < 1e-10, rels
+
+# ---- round-5: stream-free df64-grade gen adjoint (the honest default) -----
+Xd = jnp.asarray(rng.normal(size=(6, 33, 3)).cumsum(1) * 0.2)
+Yd = jnp.asarray(rng.normal(size=(6, 29, 3)).cumsum(1) * 0.2)
+cth, ctl = pallas_adjoint.adjoint_planes_gen_df(Xd, Yd, 0.9, False, 1)
+ct = np.asarray(cth.astype(jnp.float64) + ctl.astype(jnp.float64))
+inc_d = double_difference(sk.RBFKernel(0.9).batch_kernel(Xd, Yd))
+(want_d,) = solve_mod._grid_route_bwd(inc_d, jnp.ones((6,), jnp.float64),
+                                      False, "scan", 1)
+want_d = np.asarray(want_d)
+err = np.abs(ct - want_d).max()
+rel = err / np.abs(want_d).max()
+# tolerance = the documented gen-tier error model (hi-only u^2/12 chain,
+# pallas_df64._df_scheme_gen): ~3 * u^2 * 2^-23 per update through both
+# sweeps; at this coarse geometry (u ~ 3e-3, 122 steps) that is ~1e-9 rel,
+# at the benchmark grid (u ~ 1e-5) it is ~1e-12.
+u_d = float(np.abs(np.asarray(inc_d)).max()) / 4.0
+n_steps_d = (Xd.shape[1] + Yd.shape[1] - 2) * 2 - 1
+tol_d = (8.0 * n_steps_d * 3.0 * u_d * u_d * 2.0 ** -23
+         * max(np.abs(want_d).max(), 1.0) + 1e-10 * np.abs(want_d).max())
+print("gen_df adjoint vs f64 scan-adjoint rel:", rel,
+      "(model bound rel:", tol_d / np.abs(want_d).max(), ")", flush=True)
+assert err < tol_d, (err, tol_d)
+
+# full default-grade route end-to-end (grad_solver='auto' on f64 RBF):
+# must take the gen_df route on chip AND match the scan-tier adjoint chain
+from sigkernel_tpu.ops.routes import resolve_hybrid_bwd
+route = resolve_hybrid_bwd(sk.RBFKernel(0.9), Xd, Yd, 1, False)
+print("hybrid bwd route at this geometry:", route, flush=True)
+assert route == "gen_df", route
+kd = sk.RBFKernel(0.9)
+g_def = jax.grad(lambda x: sk.sig_kernel(kd, x, Yd, dyadic_order=1,
+                                         max_batch=None).sum())(Xd)
+g_ref = jax.grad(lambda x: sk.sig_kernel(kd, x, Yd, dyadic_order=1,
+                                         solver="scan",
+                                         max_batch=None).sum())(Xd)
+reld = float(jnp.abs(g_def - g_ref).max() / jnp.abs(g_ref).max())
+print("default-grade (gen_df) grad vs scan-adjoint rel:", reld, flush=True)
+# the dd-VJP Laplacian amplifies the ct error; at this coarse geometry the
+# scheme_gen model error (~2e-9 on ct) bounds it at ~1e-6-grade -- still
+# >1e4x tighter than the f32 route's 2.7e-2 (docs/VALIDATION.md). The
+# benchmark-scale grade is pinned by the ct check above (model ~1e-12).
+assert reld < 1e-5, reld
 
 # k_kgrad end-to-end on chip (f64 -> df tier now)
 Xk = jnp.asarray(rng.normal(size=(4, 20, 3)).cumsum(1) * 0.2)

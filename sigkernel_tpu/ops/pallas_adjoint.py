@@ -1124,6 +1124,431 @@ def adjoint_planes_collapsed_gen(Xp, Yp, sigma, g, naive: bool,
     return out.reshape(Bp, Mb, Nb)[:B0]
 
 
+def _product_collapse_planes_gen_df_kernel(
+        xh_ref, xl_ref, sxh_ref, sxl_ref, yrh_ref, yrl_ref,
+        syh_ref, syl_ref, rsh_ref, rsl_ref, fstkh_hbm, fstkl_hbm,
+        outh_hbm, outl_hbm,
+        stateh, statel, fbufh, fbufl, acch, accl, obufh, obufl,
+        gdh, gdl, gbh, gbl, isem,
+        *, n_steps, MM, NN, Lbf, naive, pad_f, refine, Mb_r, Nb_r,
+        window_seg=0):
+    """DOUBLE-FLOAT plane-split collapse adjoint with in-kernel reverse
+    generation: the f64-grade backward of the gen route.
+
+    Mirror of :func:`_product_collapse_planes_gen_kernel` with every stage
+    lifted to double-float (the stream-free df adjoint: nothing but the
+    two forward solution stacks touches HBM between the paths and the
+    base-resolution cotangent):
+
+    - the reverse sweep state is a DF pair (``stateh``/``statel``) updated
+      by ``pallas_df64._df_scheme_gen`` on the DF increments the generation
+      closures already produce;
+    - the product reads BOTH planes of the forward stack
+      (``fstkh``/``fstkl``, emitted by the forward's ``lo_stack=True``
+      mode) and forms ``KK = K * K_rev`` in DF (``_df_mul``) -- the f32
+      route's ~2.7e-2 gradient error is the 2^-24 *representation* noise
+      of KK entering the double-difference VJP's discrete Laplacian, so
+      both factors must carry better-than-f32 accuracy;
+    - accumulation into the base-diagonal cotangent runs in DF
+      (``_df_add``), emitted as hi/lo stacks and combined to f64 outside.
+
+    The upstream cotangent ``g`` (a per-pair scalar) is NOT applied here:
+    the caller multiplies in f64 after the unshear (exact linearity, one
+    fewer in-kernel operand). Replaces the default-grade backward's
+    ``_grid_route_bwd`` (two full DF grid solves + streams: a 27 GB XLA
+    program at the 10k-pair benchmark chunk; docs/BENCHMARKS.md round 4).
+    Reference parity target: the any-size f64 CPU gradient path,
+    reference sigkernel/cython_backend.pyx:64-119 + sigkernel.py:419-502.
+    """
+    from .pallas_df64 import (T_GEN, _df_add, _df_mul, _df_scheme_gen,
+                              _make_inc_gen)
+
+    P = stateh.shape[2]
+    Lbr = stateh.shape[3]
+    f = refine
+    T_b = T_GEN
+    TFf = T_b * f
+    n_slots = pl.cdiv(n_steps, f)
+    n_batches = pl.cdiv(n_slots, T_b)
+    iib = lax.broadcasted_iota(jnp.int32, (P, Lbr), 1)
+    one = jnp.float32(1.0)
+    zero = jnp.float32(0.0)
+    zslab = jnp.zeros((P, Lbf), jnp.float32)
+    L_r = f * Lbr
+
+    from .pallas_solver import _window_phases
+    spb = T_b * f
+    phases = None
+    if window_seg:
+        phases = _window_phases(n_batches, spb, n_steps, MM, L_r,
+                                window_seg, margin_top=max(8, 3 * f + 2),
+                                align=f * LANES)
+    A = (n_steps - 3) // f
+    r0 = (n_steps - 3) % f
+
+    for p in range(f):
+        stateh[0, p] = jnp.ones((P, Lbr), jnp.float32)
+        stateh[1, p] = jnp.ones((P, Lbr), jnp.float32)
+        statel[0, p] = jnp.zeros((P, Lbr), jnp.float32)
+        statel[1, p] = jnp.zeros((P, Lbr), jnp.float32)
+    acch[0] = zslab
+    acch[1] = zslab
+    accl[0] = zslab
+    accl[1] = zslab
+
+    # generation scratch init + closures (diag -1 == exact zeros)
+    gbh[1] = jnp.zeros((P, Lbr), jnp.float32)
+    gbl[1] = jnp.zeros((P, Lbr), jnp.float32)
+    gen_G, gen_inc = _make_inc_gen(
+        (xh_ref, xl_ref, sxh_ref, sxl_ref, yrh_ref, yrl_ref,
+         syh_ref, syl_ref, rsh_ref, rsl_ref),
+        gdh, gdl, gbh, gbl, Mb=Mb_r, Nb=Nb_r, refine=f)
+    g0h, g0l = gen_G(0)
+    gdh[0], gdl[0] = g0h, g0l
+    g1h, g1l = gen_G(1)
+    gdh[1], gdl[1] = g1h, g1l
+
+    def flush(slot, k_entry):
+        pltpu.make_async_copy(obufh.at[_ix(slot)],
+                              outh_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).wait()
+        pltpu.make_async_copy(obufl.at[_ix(slot)],
+                              outl_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(6 + slot)]).wait()
+        obufh[slot] = acch[slot]
+        obufl[slot] = accl[slot]
+        acch[slot] = zslab
+        accl[slot] = zslab
+        pltpu.make_async_copy(obufh.at[_ix(slot)],
+                              outh_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(4 + slot)]).start()
+        pltpu.make_async_copy(obufl.at[_ix(slot)],
+                              outl_hbm.at[_ix(k_entry + 2)],
+                              isem.at[_ix(6 + slot)]).start()
+
+    def accumulate_planes(prods, q_mod_f, k_par):
+        """DF plane products join base diag k (acc[k_par]) when
+        p <= q_mod_f, else k-1 (acc[1-k_par]); sums and accumulator
+        updates are double-float."""
+        a_sum = b_sum = None
+        for p in range(f):
+            if p <= q_mod_f:
+                a_sum = (prods[p] if a_sum is None
+                         else _df_add(*a_sum, *prods[p]))
+            else:
+                b_sum = (prods[p] if b_sum is None
+                         else _df_add(*b_sum, *prods[p]))
+        if a_sum is not None:
+            acch[k_par], accl[k_par] = _df_add(acch[k_par], accl[k_par],
+                                               *a_sum)
+        if b_sum is not None:
+            acch[1 - k_par], accl[1 - k_par] = _df_add(
+                acch[1 - k_par], accl[1 - k_par], *b_sum)
+
+    # seed the per-slot flush-wait chains (entries V+2, V+3 never read)
+    V = n_slots + 1
+    obufh[0] = zslab
+    obufh[1] = zslab
+    obufl[0] = zslab
+    obufl[1] = zslab
+    pltpu.make_async_copy(obufh.at[_ix(0)], outh_hbm.at[_ix(V + 2)],
+                          isem.at[_ix(4)]).start()
+    pltpu.make_async_copy(obufh.at[_ix(1)], outh_hbm.at[_ix(V + 3)],
+                          isem.at[_ix(5)]).start()
+    pltpu.make_async_copy(obufl.at[_ix(0)], outl_hbm.at[_ix(V + 2)],
+                          isem.at[_ix(6)]).start()
+    pltpu.make_async_copy(obufl.at[_ix(1)], outl_hbm.at[_ix(V + 3)],
+                          isem.at[_ix(7)]).start()
+
+    # pre-loop: cotangent diagonals q1 = T-1, q2 = T-2 have A2 = 1
+    pres = (
+        pltpu.make_async_copy(fstkh_hbm.at[_ix(n_steps - 3 + pad_f)],
+                              fbufh.at[_ix(0), _ix(0)], isem.at[_ix(0)]),
+        pltpu.make_async_copy(fstkh_hbm.at[_ix(n_steps - 4 + pad_f)],
+                              fbufh.at[_ix(0), _ix(1)], isem.at[_ix(1)]),
+        pltpu.make_async_copy(fstkl_hbm.at[_ix(n_steps - 3 + pad_f)],
+                              fbufl.at[_ix(0), _ix(0)], isem.at[_ix(2)]),
+        pltpu.make_async_copy(fstkl_hbm.at[_ix(n_steps - 4 + pad_f)],
+                              fbufl.at[_ix(0), _ix(1)], isem.at[_ix(3)]),
+    )
+    for c in pres:
+        c.start()
+    for c in pres:
+        c.wait()
+    q1, q2 = n_steps - 1, n_steps - 2
+    k1, k2 = q1 // f, q2 // f
+    accumulate_planes([(fbufh[0, 0, p], fbufl[0, 0, p]) for p in range(f)],
+                      q1 % f, k1 % 2)
+    if q1 % f == 0:
+        flush(k1 % 2, jnp.int32(k1))
+    accumulate_planes([(fbufh[0, 1, p], fbufl[0, 1, p]) for p in range(f)],
+                      q2 % f, k2 % 2)
+    # q2 % f == f-1 always (T-2 = f*V - 3): never a flush position
+
+    def in_copies(b, slot):
+        E_b = n_steps - 4 - (b + 1) * TFf + pad_f
+        return (
+            pltpu.make_async_copy(fstkh_hbm.at[pl.ds(_ix(E_b), TFf)],
+                                  fbufh.at[_ix(slot)],
+                                  isem.at[_ix(slot)]),
+            pltpu.make_async_copy(fstkl_hbm.at[pl.ds(_ix(E_b), TFf)],
+                                  fbufl.at[_ix(slot)],
+                                  isem.at[_ix(2 + slot)]),
+        )
+
+    for c in in_copies(0, 0):
+        c.start()
+
+    def make_body(ws=None, W=None, guarded=True):
+        wsb = None if ws is None else ws // f
+        Wb = None if ws is None else W // f
+        iibw = None if ws is None else (
+            lax.broadcasted_iota(jnp.int32, (P, Wb), 1) + jnp.int32(wsb))
+
+        def when_q(q_r):
+            if guarded:
+                return pl.when(q_r < n_steps)
+            return lambda fn: fn()
+
+        iiw = iib if wsb is None else iibw
+
+        def gb_win(slot):
+            if wsb is None:
+                return gbh[slot], gbl[slot]
+            return (gbh[slot, :, wsb:wsb + Wb],
+                    gbl[slot, :, wsb:wsb + Wb])
+
+        def step(q_r, k_r, s_i, sp, t, cur, prev, fb_idx, bslot):
+            vm2, vm1 = sp, 1 - sp
+
+            def st(slot, p):
+                if wsb is None:
+                    return stateh[slot, p], statel[slot, p]
+                return (stateh[slot, p, :, wsb:wsb + Wb],
+                        statel[slot, p, :, wsb:wsb + Wb])
+
+            k10 = [st(vm1, p) for p in range(f)]
+            p2 = [st(vm2, p) for p in range(f)]
+
+            def rolled(pair):
+                return (pltpu.roll(pair[0], jnp.int32(1), axis=1),
+                        pltpu.roll(pair[1], jnp.int32(1), axis=1))
+
+            k01 = [rolled(k10[f - 1])] + k10[:f - 1]
+            k00 = [rolled(p2[f - 1])] + p2[:f - 1]
+            u = [rolled(cur if s_i == f - 1 else prev)] + \
+                [(cur if p <= s_i else prev) for p in range(f - 1)]
+
+            p_star = (s_i + 2) % f
+            off = (s_i + 2 - p_star) // f
+            hit_lane = jnp.int32(0) + k_r + off
+
+            vs = []
+            for p in range(f):
+                vh, vl = _df_scheme_gen(k00[p][0], k00[p][1],
+                                        k01[p][0], k01[p][1],
+                                        k10[p][0], k10[p][1],
+                                        u[p][0], u[p][1], naive)
+                mask = iiw > (NN - p) // f
+                if p == p_star:
+                    mask = mask | (iiw == hit_lane)
+                if p == 0:
+                    mask = mask | (iiw == 0)
+                vh = jnp.where(mask, one, vh)
+                vl = jnp.where(mask, zero, vl)
+                if wsb is not None and wsb > 0 and p == 0:
+                    edge = iiw == wsb
+                    vh = jnp.where(edge, p2[0][0], vh)
+                    vl = jnp.where(edge, p2[0][1], vl)
+                vs.append((vh, vl))
+            for p in range(f):
+                if wsb is None:
+                    stateh[vm2, p] = vs[p][0]
+                    statel[vm2, p] = vs[p][1]
+                else:
+                    stateh[vm2, p, :, wsb:wsb + Wb] = vs[p][0]
+                    statel[vm2, p, :, wsb:wsb + Wb] = vs[p][1]
+
+            q = n_steps - 3 - q_r
+
+            @pl.when(q >= 0)
+            def _():
+                # refined alignment shift (see the f32 gen kernel): product
+                # plane p reads reverse plane (p - sr) mod f rolled by sq
+                sr = (-3 - s_i) % f
+                d = jnp.int32(MM - 3) - jnp.int32(0) - q_r
+                sig = lax.rem(d + jnp.int32(2 * L_r), jnp.int32(L_r))
+                sq = lax.div(sig, jnp.int32(f))
+                prods = []
+                for p in range(f):
+                    src = (p - sr) % f
+                    sh = sq + (1 if p < sr else 0)
+                    # full-width state planes: frozen rows hold finals
+                    A2h = pltpu.roll(stateh[vm2, src], sh, axis=1)[:, :Lbf]
+                    A2l = pltpu.roll(statel[vm2, src], sh, axis=1)[:, :Lbf]
+                    Fh = fbufh[bslot, fb_idx, p]
+                    Fl = fbufl[bslot, fb_idx, p]
+                    Fh = jnp.where(q >= 2, Fh, one)
+                    Fl = jnp.where(q >= 2, Fl, zero)
+                    prods.append(_df_mul(Fh, Fl, A2h, A2l))
+                c = 1 if s_i > r0 else 0
+                k_par = (A + t + c) % 2
+                accumulate_planes(prods, (r0 - s_i) % f, k_par)
+                if s_i == r0:
+                    k_dyn = _ix(A) - lax.div(_ix(q_r), jnp.int32(f))
+                    flush(k_par, k_dyn)
+
+        def body(b, _):
+            bslot = lax.rem(b, jnp.int32(2))
+
+            @pl.when(b + 1 < n_batches)
+            def _():
+                for c in in_copies(b + 1, 1 - bslot):
+                    c.start()
+
+            for c in in_copies(b, bslot):
+                c.wait()
+
+            for t in range(T_b):
+                k_r = b * T_b + t
+
+                @when_q(k_r * f)   # whole base slot off the end: skip
+                def _(k_r=k_r, t=t):
+                    gen_inc(k_r, t, wsb, Wb)
+                    cur = gb_win(t % 2)
+                    prev = gb_win(1 - t % 2)
+                    for s_i in range(f):
+                        q_r = k_r * f + s_i
+                        sp = s_i % 2   # == q_r % 2 (f even)
+
+                        @when_q(q_r)
+                        def _(q_r=q_r, k_r=k_r, t=t, s_i=s_i, sp=sp):
+                            step(q_r, k_r, s_i, sp, t, cur, prev,
+                                 TFf - 1 - (t * f + s_i), bslot)
+            return 0
+        return body
+
+    if phases is None:
+        lax.fori_loop(jnp.int32(0), jnp.int32(n_batches), make_body(), 0)
+    else:
+        for (b0, b1, ws_p, W_p) in phases:
+            guarded = b1 * spb > n_steps
+            lax.fori_loop(jnp.int32(b0), jnp.int32(b1),
+                          make_body(ws_p, W_p, guarded), 0)
+
+    pltpu.make_async_copy(obufh.at[_ix(0)], outh_hbm.at[_ix(2)],
+                          isem.at[_ix(4)]).wait()
+    pltpu.make_async_copy(obufh.at[_ix(1)], outh_hbm.at[_ix(3)],
+                          isem.at[_ix(5)]).wait()
+    pltpu.make_async_copy(obufl.at[_ix(0)], outl_hbm.at[_ix(2)],
+                          isem.at[_ix(6)]).wait()
+    pltpu.make_async_copy(obufl.at[_ix(1)], outl_hbm.at[_ix(3)],
+                          isem.at[_ix(7)]).wait()
+
+
+def adjoint_planes_gen_df(Xp, Yp, sigma, naive: bool, dyadic_order: int):
+    """Stream-free df64-grade gen adjoint: per-pair paths in, DF
+    base-resolution cotangent pair out.
+
+    Per chunk (inside ONE ``lax.map`` iteration, so nothing outlives it):
+    the forward gen solve emits BOTH solution-stack planes
+    (``lo_stack=True``), then :func:`_product_collapse_planes_gen_df_kernel`
+    regenerates the reverse increment stream in-kernel, sweeps the reverse
+    solve in DF, products against the DF forward stack and collapses to
+    the base grid in DF. Residual HBM per chunk = the two stacks
+    (2 x ~4.3 GB at the benchmark geometry) -- the whole point: the
+    default-grade backward previously needed two full DF grid solves plus
+    their streams (27 GB at the 10k-pair pair_chunk=128; docs/BENCHMARKS.md).
+
+    Returns ``(ct_hi, ct_lo)`` f32 arrays ``(B, Mb, Nb)`` whose f64 sum is
+    the cotangent of the final values w.r.t. the BASE increments (the
+    upstream per-pair cotangent ``g`` and any weighting applied by the
+    caller in f64). Caller gates on :func:`planes_adj_ok` +
+    ``pallas_df64.gen_supported`` (via ``routes.resolve_hybrid_bwd``).
+    """
+    f = 2 ** dyadic_order
+    from . import pallas_df64
+    from .pallas_solver import WINDOW_SEG
+
+    B0, M, _ = Xp.shape
+    N = Yp.shape[1]
+    Mb, Nb = M - 1, N - 1
+    MM, NN = Mb * f, Nb * f
+    T = MM + NN - 1
+    pad_f = _pad_f_gen(f)
+    chunk = shared_chunk(MM, NN)
+
+    def one_core(Xc, Yc):
+        B = Xc.shape[0]
+        P = ceil_to(B, SUBLANES)
+        Lbf = ceil_to(Mb + 1, LANES)
+        Lbr = ceil_to(Nb + 1, LANES)
+
+        _, S_h, S_l = pallas_df64._solve_final_one_df_gen(
+            Xc, Yc, sigma, naive, dyadic_order, stack_pad=pad_f,
+            lo_stack=True)
+
+        # reverse-role point slabs: x-role = flip(y), y-role = flip(x)
+        ins = pallas_df64._gen_point_slabs(jnp.flip(Yc, 1), jnp.flip(Xc, 1),
+                                           sigma, P, Lbr)
+
+        V = -(-T // f) + 1
+        Tp_out = ceil_to(V + 4, LANES)
+        kernel = functools.partial(
+            _product_collapse_planes_gen_df_kernel, n_steps=T, MM=MM,
+            NN=NN, Lbf=Lbf, naive=naive, pad_f=pad_f, refine=f, Mb_r=Nb,
+            Nb_r=Mb, window_seg=WINDOW_SEG)
+        cot_h, cot_l = pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct((Tp_out, P, Lbf), jnp.float32),
+                       jax.ShapeDtypeStruct((Tp_out, P, Lbf), jnp.float32)),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10
+                     + [pl.BlockSpec(memory_space=pl.ANY)] * 2,
+            out_specs=(pl.BlockSpec(memory_space=pl.ANY),
+                       pl.BlockSpec(memory_space=pl.ANY)),
+            scratch_shapes=[
+                pltpu.VMEM((2, f, P, Lbr), jnp.float32),          # stateh
+                pltpu.VMEM((2, f, P, Lbr), jnp.float32),          # statel
+                pltpu.VMEM((2, pallas_df64.T_GEN * f, f, P, Lbf),
+                           jnp.float32),                          # fbufh
+                pltpu.VMEM((2, pallas_df64.T_GEN * f, f, P, Lbf),
+                           jnp.float32),                          # fbufl
+                pltpu.VMEM((2, P, Lbf), jnp.float32),             # acch
+                pltpu.VMEM((2, P, Lbf), jnp.float32),             # accl
+                pltpu.VMEM((2, P, Lbf), jnp.float32),             # obufh
+                pltpu.VMEM((2, P, Lbf), jnp.float32),             # obufl
+                pltpu.VMEM((3, P, Lbr), jnp.float32),             # gdh
+                pltpu.VMEM((3, P, Lbr), jnp.float32),             # gdl
+                pltpu.VMEM((2, P, Lbr), jnp.float32),             # gbh
+                pltpu.VMEM((2, P, Lbr), jnp.float32),             # gbl
+                pltpu.SemaphoreType.DMA((8,)),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024),
+        )(*ins, S_h, S_l)
+
+        # base unshear (entry kb at kb + 2), exact 1/f^2 scale per plane
+        def unshear(cot_b):
+            Ds = cot_b[:, :, :Mb]
+            DT = jnp.transpose(Ds, (1, 2, 0))              # (P, Mb, Tp_out)
+            flat = jnp.pad(DT.reshape(P, Mb * Tp_out), ((0, 0), (0, Mb)))
+            K = flat.reshape(P, Mb, Tp_out + 1)[:, :, 2: 2 + Nb]
+            return K[:B] * jnp.float32(1.0 / (f * f))
+
+        return unshear(cot_h), unshear(cot_l)
+
+    if B0 <= chunk:
+        return one_core(Xp, Yp)
+    Bp = ceil_to(B0, chunk)
+    nc = Bp // chunk
+    Xq = jnp.pad(Xp, ((0, Bp - B0), (0, 0), (0, 0))).reshape(
+        nc, chunk, M, -1)
+    Yq = jnp.pad(Yp, ((0, Bp - B0), (0, 0), (0, 0))).reshape(
+        nc, chunk, N, -1)
+    cth, ctl = jax.lax.map(lambda a: one_core(a[0], a[1]), (Xq, Yq))
+    return (cth.reshape(Bp, Mb, Nb)[:B0], ctl.reshape(Bp, Mb, Nb)[:B0])
+
+
 def _product_collapse_planes_gen32_kernel(
         x_ref, sx_ref, yr_ref, syr_ref, rs_ref, fstk_hbm, g_ref, out_hbm,
         state, fbuf, acc, obuf, gd, gb, isem,

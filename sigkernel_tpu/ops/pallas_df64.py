@@ -90,6 +90,15 @@ def _two_prod(a, b):
     return p, err
 
 
+def _two_prod_sqr(a):
+    """``_two_prod(a, a)`` with the Veltkamp split computed once (exact;
+    saves 4 of its 13 ops)."""
+    p = a * a
+    ah, al = _split(a)
+    err = ((ah * ah - p) + jnp.float32(2.0) * (ah * al)) + al * al
+    return p, err
+
+
 def _df_add(xh, xl, yh, yl):
     s, e = _two_sum(xh, yh)
     return _quick_two_sum(s, e + (xl + yl))
@@ -133,7 +142,7 @@ def _df_mul_const(xh, xl, c: float):
 
 
 def _df_sqr(xh, xl):
-    p, e = _two_prod(xh, xh)
+    p, e = _two_prod_sqr(xh)
     return _quick_two_sum(p, e + jnp.float32(2.0) * (xh * xl))
 
 
@@ -235,6 +244,51 @@ def _df_scheme(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
     m2h, m2l = _df_mul(k00h, k00l, th, tl)
     vh, vl = _df_add(d0h, d0l, m1h, m1l)
     return _df_add(vh, vl, m2h, m2l)
+
+
+def _df_scheme_gen(k00h, k00l, k01h, k01l, k10h, k10l, uh, ul, naive):
+    """The GEN-tier update scheme: hi-only ``u^2/12`` correction chain.
+
+    Identical to :func:`_df_scheme` except the second-order correction
+    ``t = u^2/12`` and its ``k00 * t`` product run in plain f32 (the
+    first-order term ``s * u/2`` stays full double-float):
+
+        135 f32 ops/cell  ->  79 f32 ops/cell  (the VPU-issue bound that
+        sets the df64 kernels' wall time; docs/BENCHMARKS.md round 3).
+
+    Error budget (why this is sound for the GEN kernels only): dropping
+    the EFTs of the u^2 chain perturbs each cell update by
+
+        |dv| <= (|s| + |k00|) * |u|^2 * 2^-23  ~=  3 * u^2 * 2^-23.
+
+    The gen kernels' increments are generated in-kernel from the DF exp of
+    the static kernel, whose ~2^-48-level G rounding noise already enters
+    each update as |dv| ~ 3 * 4 * 2^-48 (the double difference of white
+    per-cell G noise) -- the measured gen-tier floor (rtol ~1e-11 vs the
+    exact-increment scan oracle at coarse grids). The hi-only u^2 term is
+    BELOW that existing floor whenever |u| <= 2^(-12.5) ~= 1.8e-4, which
+    holds for every production grid (benchmark config: |u| ~ 1e-5 refined;
+    increments shrink as 1/length^2). At coarse grids (|u| ~ 1e-2, e.g.
+    length-8 tests) the model bound is ~n_steps * 3 * u^2 * 2^-23 ~ 5e-10
+    absolute -- still ~1e4x tighter than f32 -- and the gen tests assert
+    against exactly this model. The increment-grid df kernels
+    (``_wavefront_df_kernel``, planes, blocked, derivatives) take
+    arbitrary-scale increments and keep the full-EFT :func:`_df_scheme`.
+    """
+    sh, sl = _df_add(k01h, k01l, k10h, k10l)           # s = k01 + k10
+    d0h, d0l = _df_add(sh, sl, -k00h, -k00l)           # s - k00
+    huh, hul = uh * jnp.float32(0.5), ul * jnp.float32(0.5)
+    if naive:
+        mh, ml = _df_mul(sh, sl, huh, hul)
+        return _df_add(d0h, d0l, mh, ml)
+    # hi-only u^2/12 (plain f32 mul; NOT an EFT, so the excess-precision
+    # folding hazard of literal-constant EFTs does not apply)
+    t32 = (uh * uh) * np.float32(1.0 / 12.0)
+    wh, wl = _df_add_f32(huh, hul, t32)                # u/2 + u^2/12
+    m1h, m1l = _df_mul(sh, sl, wh, wl)
+    m2 = k00h * t32
+    vh, vl = _df_add(d0h, d0l, m1h, m1l)
+    return _df_add_f32(vh, vl, m2)
 
 
 # ---------------------------------------------------------------------------
@@ -1012,11 +1066,11 @@ def _make_inc_gen(point_refs, gdh, gdl, gbh, gbl, *, Mb, Nb, refine,
 def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
                              yrh_ref, yrl_ref, syh_ref, syl_ref,
                              rsh_ref, rsl_ref,
-                             outh_ref, outl_ref, stk_ref, inc_ref,
+                             outh_ref, outl_ref, stk_ref, stkl_ref, inc_ref,
                              sh_ref, sl_ref, gdh, gdl, gbh, gbl, isem,
                              *, n_steps, MM, NN, Mb, Nb, naive, refine,
-                             hi_stack=False, out_offset=0, emit_inc=False,
-                             window_seg=0, margin_top=8):
+                             hi_stack=False, lo_stack=False, out_offset=0,
+                             emit_inc=False, window_seg=0, margin_top=8):
     """Double-double wavefront with IN-KERNEL RBF increment generation.
 
     Replaces the XLA prep pipeline (DF Gram + double difference,
@@ -1060,6 +1114,9 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
     the generated base diagonals feed the refined step directly -- no
     shuffle between the two halves.
     """
+    assert not (lo_stack and emit_inc), \
+        "lo_stack reuses the emit_inc semaphore slots"
+    assert not lo_stack or hi_stack, "lo_stack requires hi_stack"
     T = T_GEN
     f = refine
     D = xh_ref.shape[0]
@@ -1151,9 +1208,10 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
 
         vs = []
         for p in range(f):
-            vh, vl = _df_scheme(k00[p][0], k00[p][1], k01[p][0], k01[p][1],
-                                k10[p][0], k10[p][1], u[p][0], u[p][1],
-                                naive)
+            vh, vl = _df_scheme_gen(k00[p][0], k00[p][1],
+                                    k01[p][0], k01[p][1],
+                                    k10[p][0], k10[p][1],
+                                    u[p][0], u[p][1], naive)
             mask = iiw > (MM - p) // f
             if p == p_star:
                 mask = mask | (iiw == hit_lane)
@@ -1174,6 +1232,11 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
                     sh_ref.at[_ix(vm2)],
                     stk_ref.at[_ix(q - 2 + out_offset)],
                     isem.at[_ix(4 + sp)]).wait()
+                if lo_stack:
+                    pltpu.make_async_copy(
+                        sl_ref.at[_ix(vm2)],
+                        stkl_ref.at[_ix(q - 2 + out_offset)],
+                        isem.at[_ix(6 + sp)]).wait()
         for p in range(f):
             if wsb is None:
                 sh_ref[vm2, p] = vs[p][0]
@@ -1185,6 +1248,10 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
             pltpu.make_async_copy(sh_ref.at[_ix(vm2)],
                                   stk_ref.at[_ix(q + out_offset)],
                                   isem.at[_ix(4 + sp)]).start()
+            if lo_stack:
+                pltpu.make_async_copy(sl_ref.at[_ix(vm2)],
+                                      stkl_ref.at[_ix(q + out_offset)],
+                                      isem.at[_ix(6 + sp)]).start()
 
     def make_body(ws=None, W=None, guarded=True):
         def when_q(q):
@@ -1237,12 +1304,23 @@ def _wavefront_df_gen_kernel(xh_ref, xl_ref, sxh_ref, sxl_ref,
         pltpu.make_async_copy(sh_ref.at[_ix(last)],
                               stk_ref.at[_ix(n_steps - 1 + out_offset)],
                               isem.at[_ix(4 + last)]).wait()
+        if lo_stack:
+            pltpu.make_async_copy(
+                sl_ref.at[_ix(last)],
+                stkl_ref.at[_ix(n_steps - 1 + out_offset)],
+                isem.at[_ix(6 + last)]).wait()
+
         @pl.when(n_steps >= 2)
         def _():
             pltpu.make_async_copy(
                 sh_ref.at[_ix(1 - last)],
                 stk_ref.at[_ix(n_steps - 2 + out_offset)],
                 isem.at[_ix(4 + (1 - last))]).wait()
+            if lo_stack:
+                pltpu.make_async_copy(
+                    sl_ref.at[_ix(1 - last)],
+                    stkl_ref.at[_ix(n_steps - 2 + out_offset)],
+                    isem.at[_ix(6 + (1 - last))]).wait()
     if emit_inc:
         for off in (0, 1):
             pltpu.make_async_copy(gbh.at[_ix(off)], inc_ref.at[_ix(off)],
@@ -1583,7 +1661,7 @@ def _gen_point_slabs(Xp, Yp, sigma, P: int, Lb: int):
 
 def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
                             stack_pad=None, emit_inc=False,
-                            window_seg=None):
+                            lo_stack=False, window_seg=None):
     """Final-corner df64 solve with IN-KERNEL RBF increment generation.
 
     ``Xp``/``Yp``: per-pair paths ``(B, M, D)`` / ``(B, N, D)``. With
@@ -1591,6 +1669,11 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
     q + stack_pad) for the fused adjoint; with ``emit_inc`` also the hi
     increment base-diagonal stack (entry k at k) whose unshear
     (:func:`gen_inc_unshear`) replaces the backward's prep recompute.
+    With ``lo_stack`` (requires ``stack_pad``, excludes ``emit_inc``)
+    ALSO emits the LO solution stack -- the forward half of the
+    stream-free df64-grade gen adjoint
+    (:func:`..pallas_adjoint.adjoint_planes_gen_df`), whose product needs
+    both planes of the forward solution at double-float accuracy.
     """
     B, M, D = Xp.shape
     N = Yp.shape[1]
@@ -1616,6 +1699,7 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
     else:
         stk_shape = (1, 1, 8, LANES)
         stk_spec = pl.BlockSpec(memory_space=pl.ANY)
+    stkl_shape = stk_shape if lo_stack else (1, 1, 8, LANES)
     if emit_inc:
         Ti = ceil_to(n_slots + 2, 8)
         inc_shape = (Ti, P, Lb)
@@ -1626,18 +1710,21 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
     kernel = functools.partial(
         _wavefront_df_gen_kernel, n_steps=n_steps, MM=MM, NN=NN,
         Mb=Mb, Nb=Nb, naive=naive, refine=f, hi_stack=hi_stack,
+        lo_stack=lo_stack,
         out_offset=stack_pad if hi_stack else 0, emit_inc=emit_inc,
         window_seg=seg, margin_top=max(8, 3 * f + 2))
-    outh, outl, stk, incs = pl.pallas_call(
+    outh, outl, stk, stkl, incs = pl.pallas_call(
         kernel,
         out_shape=(jax.ShapeDtypeStruct((f, P, Lb), jnp.float32),
                    jax.ShapeDtypeStruct((f, P, Lb), jnp.float32),
                    jax.ShapeDtypeStruct(stk_shape, jnp.float32),
+                   jax.ShapeDtypeStruct(stkl_shape, jnp.float32),
                    jax.ShapeDtypeStruct(inc_shape, jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 10,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    stk_spec,
+                   pl.BlockSpec(memory_space=pl.ANY),
                    pl.BlockSpec(memory_space=pl.ANY)),
         scratch_shapes=[
             pltpu.VMEM((2, f, P, Lb), jnp.float32),     # sh
@@ -1658,6 +1745,8 @@ def _solve_final_one_df_gen(Xp, Yp, sigma, naive, dyadic_order,
     outs = (val,)
     if hi_stack:
         outs = outs + (stk,)
+    if lo_stack:
+        outs = outs + (stkl,)
     if emit_inc:
         outs = outs + (incs,)
     return outs if len(outs) > 1 else val

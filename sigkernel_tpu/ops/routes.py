@@ -112,6 +112,46 @@ def resolve_df_route(hi, dyadic_order: int) -> DfRoute:
     return DfRoute(None, "grid")
 
 
+def resolve_hybrid_bwd(static_kernel, x, y, dyadic_order: int,
+                       gram: bool) -> str:
+    """Backward route of the honest-default ``_df_hybrid`` family
+    (f64 inputs, ``grad_solver`` 'auto'/'df64').
+
+    - ``'gen_df'``: the stream-free df64-grade gen adjoint
+      (:func:`.pallas_adjoint.adjoint_planes_gen_df`): forward stacks
+      (hi + lo) are recomputed and consumed per chunk INSIDE the backward,
+      the reverse increment stream is regenerated in-kernel, and the
+      prep VJP chains through f64 analytically. Requires the gen geometry
+      and the per-chunk two-stack footprint within budget.
+    - ``'chain'``: recompute ``solve(double_difference(Gram))`` under
+      ``jax.vjp`` with the grid-route backward (two full DF grid solves;
+      any geometry, but ~3x the HBM footprint of 'gen_df' at scale).
+    """
+    from .. import sigkernel as K
+    from . import pallas_adjoint, pallas_df64
+    from . import solve as S
+
+    if not K._gen_route(static_kernel, x, y, dyadic_order,
+                        need_grad=False, gram=gram):
+        return "chain"
+    A, M = x.shape[0], x.shape[1]
+    N = y.shape[1]
+    Bt = A * y.shape[0] if gram else A
+    Mb, Nb = M - 1, N - 1
+    f = 2 ** dyadic_order
+    if not pallas_adjoint.planes_adj_ok(min(Bt, 128), Mb, Nb,
+                                        dyadic_order):
+        return "chain"
+    # the hi+lo stacks are transient per map iteration (consumed by the
+    # product kernel inside the same chunk), so the gate is the PER-CHUNK
+    # footprint, not the all-chunks residual budget of the gen family
+    chunk = pallas_adjoint.shared_chunk(Mb * f, Nb * f)
+    per_chunk = S._full_stack_bytes(min(Bt, chunk), Mb, Nb, f)
+    if 2 * per_chunk > 2 * S.ckpt_stack_bytes():
+        return "chain"
+    return "gen_df"
+
+
 # ---------------------------------------------------------------------------
 # Estimator-family resolution (which primitive sig_kernel/sig_gram call)
 # ---------------------------------------------------------------------------

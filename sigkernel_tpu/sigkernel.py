@@ -181,7 +181,34 @@ def _df_hybrid_fwd(static_kernel, x, y, gram, naive, dyadic_order):
 
 
 def _df_hybrid_bwd(gram, naive, dyadic_order, res, g):
+    from .ops.routes import resolve_hybrid_bwd
+
     static_kernel, x, y = res
+    if resolve_hybrid_bwd(static_kernel, x, y, dyadic_order,
+                          gram) == "gen_df":
+        # stream-free df64-grade gen adjoint: forward hi+lo stacks are
+        # recomputed and consumed per chunk inside this backward (nothing
+        # chunk-sized outlives its map iteration), the reverse increment
+        # stream is regenerated in-kernel, and the product/collapse run in
+        # double-float. The per-pair upstream cotangent g and the
+        # increment-chain VJP run in true f64 (the double-difference VJP
+        # is the cancellation-prone stage; see ops/solve.py docstring).
+        from .ops import pallas_adjoint
+
+        Xp, Yp = _expand_pairs(x, y, gram)
+        cth, ctl = pallas_adjoint.adjoint_planes_gen_df(
+            Xp, Yp, static_kernel.sigma, naive, dyadic_order)
+        ct64 = cth.astype(jnp.float64) + ctl.astype(jnp.float64)
+        ct64 = g.reshape(-1).astype(jnp.float64)[:, None, None] * ct64
+        ct64 = ct64.reshape(g.shape + ct64.shape[-2:])
+
+        def inc_fn(sk_, x_, y_):
+            G = (sk_.Gram_matrix(x_, y_) if gram
+                 else sk_.batch_kernel(x_, y_))
+            return double_difference(G)
+
+        _, vjp = jax.vjp(inc_fn, static_kernel, x, y)
+        return vjp(ct64)
 
     def chain(sk_, x_, y_):
         G = (sk_.Gram_matrix(x_, y_) if gram else sk_.batch_kernel(x_, y_))

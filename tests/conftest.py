@@ -42,3 +42,28 @@ def make_paths(rng, batch, length, dim, dtype=np.float64, scale=0.3):
 @pytest.fixture
 def paths():
     return make_paths
+
+
+# ---------------------------------------------------------------------------
+# fast / slow split: `pytest -m fast` is the < 5 min iteration gate; the
+# full suite (no -m) stays the round gate. Slow = interpret-mode Pallas
+# kernels (each step simulated in Python), 8-device shard_map tests, and
+# subprocess-spawning bench smoke tests.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    "test_pallas.py", "test_pallas_adjoint.py", "test_pallas_blocked.py",
+    "test_pallas_ckpt.py", "test_pallas_derivatives.py",
+    "test_pallas_df64.py", "test_pallas_fused.py", "test_pallas_gen32.py",
+    "test_gen_df_adjoint.py", "test_routes.py", "test_sharding.py",
+    "test_bench_smoke.py", "test_uea_cross_impl.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        fname = os.path.basename(str(item.fspath))
+        if fname in _SLOW_FILES or item.get_closest_marker("slow"):
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)

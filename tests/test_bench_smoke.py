@@ -79,6 +79,90 @@ def test_watchdog_headline_config_uses_cached_best(tmp_path):
     assert "cached" in rec["unit"]
 
 
+def test_secondary_banks_error_first(tmp_path):
+    """BENCH_SECONDARY.json must be complete and labelled even when a
+    later phase dies: phase results bank incrementally and each risky
+    phase writes its error placeholder BEFORE running (the round-4
+    artifact lost its default-grade record to a mid-secondary death)."""
+    bench = _copy_bench(tmp_path)
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "import runpy, sys; sys.argv=['bench.py','--inner'];"
+        "runpy.run_path('bench.py', run_name='__main__')"
+    )
+    env = _smoke_env(SIGBENCH_FORCE_SECONDARY="1",
+                     SIGBENCH_DEFAULT_PAIR_CHUNK="notanint")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=600,
+                         cwd=str(tmp_path))
+    sec_path = tmp_path / "BENCH_SECONDARY.json"
+    assert sec_path.exists(), f"stderr: {out.stderr[-500:]}"
+    sec = json.loads(sec_path.read_text())
+    # phase 1 (f32) completed and banked
+    assert "f32_matched_precision_pairs_per_sec" in sec, sec
+    # phase 2 died at the chunk parse AFTER its placeholder landed
+    assert sec.get("f64_default_grade_error") == "attempt did not complete"
+    # the headline line carries the secondary summary
+    lines = [l for l in out.stdout.splitlines() if l.startswith("{")]
+    rec = json.loads(lines[-1])
+    assert "secondary" in rec
+    assert "f32_matched_precision_pairs_per_sec" in rec["secondary"]
+
+
+def test_verify_warm_smoke(tmp_path):
+    """--verify-warm: passes (exit 0, verify_warm true) when the inner
+    attempt's first line lands within threshold; fails closed (exit 3,
+    hint) when it does not."""
+    bench = _copy_bench(tmp_path)
+    out = subprocess.run(
+        [sys.executable, bench, "--verify-warm"],
+        env=_smoke_env(SIGBENCH_DEADLINE_S="300",
+                       SIGBENCH_WARM_FIRST_LINE_S="280"),
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path))
+    rec = json.loads([l for l in out.stdout.splitlines()
+                      if l.startswith("{")][-1])
+    assert out.returncode == 0, (out.returncode, rec, out.stderr[-300:])
+    assert rec["verify_warm"] is True
+    assert rec["first_line_s"] is not None
+
+    out = subprocess.run(
+        [sys.executable, bench, "--verify-warm"],
+        env=_smoke_env(SIGBENCH_DEADLINE_S="60",
+                       SIGBENCH_WARM_FIRST_LINE_S="0"),
+        capture_output=True, text=True, timeout=180, cwd=str(tmp_path))
+    rec = json.loads([l for l in out.stdout.splitlines()
+                      if l.startswith("{")][-1])
+    assert out.returncode == 3
+    assert rec["verify_warm"] is False
+    assert rec["hint"]
+
+
+def test_spawn_attempt_scrubs_sig_flags(tmp_path):
+    """The watchdog's inner attempts must run with SIG_* tracing flags
+    stripped (compile-cache key discipline): a session flag must not leak
+    into the spawned environment."""
+    bench = _copy_bench(tmp_path)
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "import importlib.util, os, sys, json\n"
+        "spec = importlib.util.spec_from_file_location('bench', "
+        f"{str(bench)!r})\n"
+        "m = importlib.util.module_from_spec(spec)\n"
+        "spec.loader.exec_module(m)\n"
+        "os.environ['SIG_PLANES'] = '0'\n"
+        "os.environ['SIGBENCH_PAIRS'] = '2'\n"
+        "env = m._plain_env()\n"
+        "assert 'SIG_PLANES' not in env, env.get('SIG_PLANES')\n"
+        "assert env.get('SIGBENCH_PAIRS') == '2'\n"
+        "os.environ['SIGBENCH_KEEP_FLAGS'] = '1'\n"
+        "assert m._plain_env().get('SIG_PLANES') == '0'\n"
+        "print('SCRUB_OK')\n")
+    out = subprocess.run([sys.executable, str(probe)], env=_smoke_env(),
+                         capture_output=True, text=True, timeout=120,
+                         cwd=str(tmp_path))
+    assert "SCRUB_OK" in out.stdout, out.stderr[-500:]
+
+
 def test_bench_inner_runs_on_cpu(tmp_path):
     env = dict(os.environ)
     env.update({

@@ -127,6 +127,33 @@ def test_family_matrix(monkeypatch, rng):
         assert got == want, (fa, dfr, gen, solver, gs, got, want)
 
 
+def test_hybrid_bwd_matrix(monkeypatch, rng):
+    """``resolve_hybrid_bwd``: the honest-default backward's route gates
+    (gen geometry x plane-adjoint geometry x per-chunk stack budget)."""
+    import sigkernel_tpu as sk
+    import sigkernel_tpu.sigkernel as K
+    from sigkernel_tpu.ops import pallas_adjoint
+    from sigkernel_tpu.ops.routes import resolve_hybrid_bwd
+
+    kern = sk.RBFKernel(1.0)
+    x = jnp.asarray(rng.normal(size=(2, 6, 2)))
+    cases = [
+        # (gen_route, planes_adj_ok, budget_ok, want)
+        (True, True, True, "gen_df"),
+        (False, True, True, "chain"),
+        (True, False, True, "chain"),
+        (True, True, False, "chain"),
+    ]
+    for gen, pok, bok, want in cases:
+        monkeypatch.setattr(K, "_gen_route", lambda *a, v=gen, **kw: v)
+        monkeypatch.setattr(pallas_adjoint, "planes_adj_ok",
+                            lambda *a, v=pok: v)
+        monkeypatch.setattr(solve_mod, "_full_stack_bytes",
+                            lambda *a, v=bok: 0 if v else 1 << 62)
+        got = resolve_hybrid_bwd(kern, x, x, 1, False)
+        assert got == want, (gen, pok, bok, got, want)
+
+
 # ---------------------------------------------------------------------------
 # Part B: every route executed end-to-end (value + grad vs scan tier)
 # ---------------------------------------------------------------------------
