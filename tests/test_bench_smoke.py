@@ -186,3 +186,29 @@ def test_bench_inner_runs_on_cpu(tmp_path):
     assert rec["value"] > 0
     assert rec["unit"] == "path-pairs/s"
     assert set(rec) == {"metric", "value", "unit", "vs_baseline"}
+
+
+def test_baseline_suite_banks_incrementally(tmp_path):
+    """benchmarks/run_benchmarks.py --json must bank BASELINE_RESULTS.json
+    after EVERY config (a crash mid-suite keeps earlier entries) and
+    record per-config failures as machine-readable error entries."""
+    code = (
+        "import jax; jax.config.update('jax_platforms','cpu');\n"
+        "import runpy, sys\n"
+        "sys.argv = ['run_benchmarks.py', 'readme', 'nosuch', '--json']\n"
+        "import benchmarks.run_benchmarks as rb\n"
+        f"rb.RESULTS_PATH = {str(tmp_path / 'BASELINE_RESULTS.json')!r}\n"
+        "rb.BENCHES['nosuch'] = lambda report: (_ for _ in ()).throw("
+        "RuntimeError('boom'))\n"
+        "rb.main()\n"
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=300,
+                         cwd=REPO)
+    path = tmp_path / "BASELINE_RESULTS.json"
+    assert path.exists(), out.stderr[-500:]
+    rec = json.loads(path.read_text())
+    assert rec["suite"]["readme_compute_kernel_b5"]["value"] > 0
+    assert "boom" in rec["suite"]["nosuch_error"]["unit"]
