@@ -18,8 +18,13 @@ after every stage so the crash point is unambiguous in the log:
   3. _grid_route_bwd end-to-end                             (2x solve_grid + KK)
   4. the full default-grade lincomb chunk backward (old chain route,
      SIG route forced via grad_solver='df64' -> grid route)
+  5. the full 10k-pair lincomb at pair_chunk=32, TODAY'S default
+     (grad_solver='auto' -> stream-free gen_df adjoint)
+  6. the full 10k-pair lincomb at pair_chunk=32 on the ROUND-4 route
+     (grad_solver='df64' -> grid route) — the exact crashing program
 
-Run:  python -u scripts/defgrade32_repro.py [stage]
+Run:  python -u scripts/defgrade32_repro.py [stages...]
+      (default: 1 2 3 4; the lincomb stages are opt-in: `5`, `6`)
 """
 import os, sys, time
 os.environ.setdefault("JAX_ENABLE_X64", "true")
@@ -41,6 +46,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(
 
 import sigkernel_tpu as sk
 from sigkernel_tpu.ops import pallas_df64, scan_solver, solve as solve_mod
+from sigkernel_tpu.utils import double_difference
 
 LENGTH = int(os.environ.get("REPRO_LENGTH", 1024))
 CHUNK = int(os.environ.get("REPRO_CHUNK", 32))
@@ -53,7 +59,7 @@ X = jnp.asarray(rng.normal(size=(CHUNK, LENGTH, 3)).cumsum(1)
 Y = jnp.asarray(rng.normal(size=(CHUNK, LENGTH, 3)).cumsum(1)
                 * (1.0 / np.sqrt(LENGTH)))
 k = sk.RBFKernel(1.0)
-inc = sk.double_difference(k.batch_kernel(X, Y))
+inc = double_difference(k.batch_kernel(X, Y))
 inc_rev = jnp.flip(jnp.flip(inc, axis=-1), axis=-2)
 both = jnp.concatenate([inc, inc_rev], axis=0)
 jax.block_until_ready(both)
@@ -79,6 +85,40 @@ if "3" in stages:
     print(f"stage3 grid_route_bwd: |ct|max={float(jnp.abs(ct).max()):.3e} "
           f"({time.time()-t0:.1f}s)", flush=True)
     del ct
+
+if "5" in stages or "6" in stages:
+    # The round-4 crash context was NOT a single chunk: it was the full
+    # 10k-pair lincomb program at pair_chunk=32 (313 scan iterations over
+    # the batch-100 Gram). Stage 5 runs today's production default
+    # (grad_solver='auto' -> stream-free gen_df adjoint) at that chunk;
+    # stage 6 reproduces the round-4 route exactly (grad_solver='df64'
+    # -> grid route, per-chunk stream + both diagonal stacks).
+    A = int(os.environ.get("REPRO_GRAM", 100))
+    Xg = jnp.asarray(rng.normal(size=(A, LENGTH, 3)).cumsum(1)
+                     * (1.0 / np.sqrt(LENGTH)))
+    Yg = jnp.asarray(rng.normal(size=(A, LENGTH, 3)).cumsum(1)
+                     * (1.0 / np.sqrt(LENGTH)))
+    W = jnp.asarray(rng.normal(size=(A, A)))
+    jax.block_until_ready(W)
+
+    def lincomb_grad(gs):
+        def loss(x):
+            return sk.sig_gram_lincomb(k, x, Yg, W, dyadic_order=DY,
+                                       grad_solver=gs, pair_chunk=CHUNK)
+        t0 = time.time()
+        v, g = jax.value_and_grad(loss)(Xg)
+        v, gm = float(v), float(jnp.abs(g).max())
+        return v, gm, time.time() - t0
+
+    if "5" in stages:
+        v, gm, dt = lincomb_grad("auto")
+        print(f"stage5 lincomb-{A * A}p chunk-{CHUNK} default-grade: "
+              f"S={v:.6f} |g|max={gm:.3e} ({dt:.1f}s)", flush=True)
+    if "6" in stages:
+        v, gm, dt = lincomb_grad("df64")
+        print(f"stage6 lincomb-{A * A}p chunk-{CHUNK} df64 grid route "
+              f"(round-4 path): S={v:.6f} |g|max={gm:.3e} ({dt:.1f}s)",
+              flush=True)
 
 if "4" in stages:
     t0 = time.time()
