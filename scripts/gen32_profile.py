@@ -67,7 +67,8 @@ def stage_b(X, Y):
     v, stk = pallas_gen32.solve_final_f32_gen_stack(
         X, Y, SIGMA, dyadic_order=DY, stack_pad=pad)
     # consume one stack element so XLA cannot DCE the emission
-    return v + stk[0, 0, :1] * jnp.float32(1e-30)
+    # (stack layout: (nc, Tp, f, P, L))
+    return v + stk[0, 0, 0, 0, 0] * jnp.float32(1e-30)
 
 
 def stage_c(X, Y):
