@@ -251,6 +251,23 @@ print("default-grade (gen_df) grad vs scan-adjoint rel:", reld, flush=True)
 # benchmark-scale grade is pinned by the ct check above (model ~1e-12).
 assert reld < 1e-5, reld
 
+# ---- round-5: fused Pallas increment-chain VJP vs the XLA formulation ----
+from sigkernel_tpu.ops import df_prep, pallas_incvjp
+from sigkernel_tpu.ops.routes import resolve_incvjp
+
+Xv = jnp.asarray(rng.normal(size=(5, 130, 3)).cumsum(1) * 0.2, jnp.float32)
+Yv = jnp.asarray(rng.normal(size=(5, 77, 3)).cumsum(1) * 0.2, jnp.float32)
+ctv = jnp.asarray(rng.normal(size=(5, 129, 76)), jnp.float32)
+assert resolve_incvjp(Xv, Yv, gram=False) == "pallas"
+ds0, dx0, dy0 = df_prep.rbf_dd_vjp(Xv, Yv, jnp.float32(0.9), ctv, False)
+ds1, dx1, dy1 = pallas_incvjp.rbf_dd_vjp_pallas(Xv, Yv, jnp.float32(0.9),
+                                                ctv)
+rels = [float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-30))
+        for a, b in ((dx1, dx0), (dy1, dy0))]
+rels.append(abs(float(ds1) - float(ds0)) / (abs(float(ds0)) + 1e-30))
+print("incvjp pallas-vs-xla rels (dx, dy, dsig):", rels, flush=True)
+assert max(rels) < 1e-4, rels
+
 # k_kgrad end-to-end on chip (f64 -> df tier now)
 Xk = jnp.asarray(rng.normal(size=(4, 20, 3)).cumsum(1) * 0.2)
 gam = jnp.asarray(rng.normal(size=(4, 20, 3)) * 0.1)

@@ -194,3 +194,67 @@ def rbf_increments_df(X, Y, sigma, gram: bool):
 def linear_increments_df(X, Y, scale, gram: bool):
     """DF increments for the linear kernel (``scale^2 <dx, dy>``)."""
     return _linear_increments(X, Y, jnp.asarray(scale), gram)
+
+
+# ---------------------------------------------------------------------------
+# Hand-fused increment-chain VJP (the gen-family gradient tail)
+# ---------------------------------------------------------------------------
+
+def rbf_dd_vjp(X, Y, sigma, ct, gram: bool):
+    """VJP of ``(sigma, X, Y) -> double_difference(exp(-|x_s-y_t|^2/sigma))``.
+
+    The gen-family backwards chain their increment cotangent to the paths
+    through this map. ``jax.vjp`` of the naive composition materialises the
+    squared-distance grid, the kernel grid, AND their backward-pass
+    duplicates as separate HBM arrays (measured 11.8 ms of the 40 ms
+    128-pair chunk gradient at the benchmark config, ~3x its traffic
+    roofline -- docs/BENCHMARKS.md round-5 stage budget). This hand
+    derivation produces ONE weight grid ``W`` feeding two MXU contractions
+    and fused reductions.
+
+    Math (RBF with the reference's ``/sigma`` convention,
+    reference static_kernels.py:56): with ``G = exp(-D/sigma)``,
+    ``dG = dd_transpose(ct)``, ``E = dG * G``:
+
+    - ``d sigma = sum(E * D) / sigma^2``
+    - ``W = dD = -E / sigma``
+    - ``dX_m = 2 * (rowsum(W)_m * x_m - (W @ Y)_m)``
+    - ``dY_n = 2 * (colsum(W)_n * y_n - (W^T @ X)_n)``
+
+    Computed in ``X.dtype`` (each route casts inputs to its gradient
+    grade before calling). Returns ``(d_sigma, dX, dY)``.
+    """
+    from ..utils import dd_transpose
+
+    dt = X.dtype
+    sig = jnp.asarray(sigma, dt)
+    dG = dd_transpose(ct.astype(dt))
+    two = jnp.asarray(2.0, dt)
+    # explicit HIGHEST: on TPU the f32 einsum default is a single bf16
+    # MXU pass (~4e-3 relative on the distance grid, amplified by exp);
+    # 3-pass costs nothing here (traffic-bound) and matches the fused
+    # Pallas kernel's grade (measured: scripts/onchip_validate.py)
+    es = functools.partial(jnp.einsum, precision=jax.lax.Precision.HIGHEST)
+    if not gram:
+        D = (jnp.sum(X * X, -1)[..., :, None]
+             + jnp.sum(Y * Y, -1)[..., None, :]
+             - two * es("bmd,bnd->bmn", X, Y))
+        E = dG * jnp.exp(-D / sig)
+        dsig = jnp.sum(E * D) / (sig * sig)
+        W = E * (-1.0 / sig)
+        dX = two * (jnp.sum(W, -1)[..., None] * X
+                    - es("bmn,bnd->bmd", W, Y))
+        dY = two * (jnp.sum(W, -2)[..., None] * Y
+                    - es("bmn,bmd->bnd", W, X))
+    else:
+        D = (jnp.sum(X * X, -1)[:, None, :, None]
+             + jnp.sum(Y * Y, -1)[None, :, None, :]
+             - two * es("amd,bnd->abmn", X, Y))
+        E = dG * jnp.exp(-D / sig)
+        dsig = jnp.sum(E * D) / (sig * sig)
+        W = E * (-1.0 / sig)
+        dX = two * (jnp.sum(W, (1, 3))[..., None] * X
+                    - es("abmn,bnd->amd", W, Y))
+        dY = two * (jnp.sum(W, (0, 2))[..., None] * Y
+                    - es("abmn,amd->bnd", W, X))
+    return dsig, dX, dY

@@ -198,3 +198,33 @@ def resolve_family(static_kernel, x, y, solver: str, grad_solver: str,
                     gram=gram):
         return "gen"
     return "df"
+
+
+def resolve_incvjp(x, y, gram: bool) -> str:
+    """Increment-chain VJP implementation for the f32-grade gen-family
+    backwards (:func:`..sigkernel._rbf_gen32` / ``_rbf_gen``).
+
+    - ``'pallas'``: the fused one-pass kernel
+      (:func:`.pallas_incvjp.rbf_dd_vjp_pallas`) -- TPU, pairwise layout,
+      geometry within the VMEM gate.
+    - ``'xla'``: the hand-fused XLA formulation
+      (:func:`.df_prep.rbf_dd_vjp`) -- Gram layout, CPU, or beyond-VMEM
+      grids. The f64-grade (gen_df) chain always takes this route: Mosaic
+      has no f64.
+    """
+    import jax
+
+    from . import pallas_incvjp
+
+    if gram or x.dtype != jnp.float32:
+        return "xla"
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        return "xla"
+    if platform not in ("tpu", "axon"):
+        return "xla"
+    B, M, d = x.shape
+    if pallas_incvjp.supported(B, M, y.shape[1], d):
+        return "pallas"
+    return "xla"

@@ -202,13 +202,15 @@ def _df_hybrid_bwd(gram, naive, dyadic_order, res, g):
         ct64 = g.reshape(-1).astype(jnp.float64)[:, None, None] * ct64
         ct64 = ct64.reshape(g.shape + ct64.shape[-2:])
 
-        def inc_fn(sk_, x_, y_):
-            G = (sk_.Gram_matrix(x_, y_) if gram
-                 else sk_.batch_kernel(x_, y_))
-            return double_difference(G)
+        # hand-fused TRUE-f64 increment-chain VJP (the double-difference
+        # VJP is the cancellation-prone stage; see df_prep.rbf_dd_vjp)
+        from .ops import df_prep
 
-        _, vjp = jax.vjp(inc_fn, static_kernel, x, y)
-        return vjp(ct64)
+        ds, dx, dy = df_prep.rbf_dd_vjp(
+            x.astype(jnp.float64), y.astype(jnp.float64),
+            static_kernel.sigma, ct64, gram)
+        return (_kernel_cotangent(static_kernel, ds),
+                dx.astype(x.dtype), dy.astype(y.dtype))
 
     def chain(sk_, x_, y_):
         G = (sk_.Gram_matrix(x_, y_) if gram else sk_.batch_kernel(x_, y_))
@@ -220,6 +222,32 @@ def _df_hybrid_bwd(gram, naive, dyadic_order, res, g):
 
 
 _df_hybrid.defvjp(_df_hybrid_fwd, _df_hybrid_bwd)
+
+
+def _inc_chain_vjp(x, y, sigma, ct, gram):
+    """f32-grade increment-chain VJP for the gen-family backwards
+    (``ct`` w.r.t. ``dd(exp(-|x-y|^2/sigma))`` -> path/sigma cotangents).
+    Implementation resolved by :func:`.ops.routes.resolve_incvjp`: the
+    fused one-pass Pallas kernel on TPU pairwise geometry, else the
+    hand-fused XLA formulation."""
+    from .ops import df_prep
+    from .ops.routes import resolve_incvjp
+
+    if resolve_incvjp(x, y, gram) == "pallas":
+        from .ops import pallas_incvjp
+
+        return pallas_incvjp.rbf_dd_vjp_pallas(x, y, sigma, ct)
+    return df_prep.rbf_dd_vjp(x, y, sigma, ct, gram)
+
+
+def _kernel_cotangent(static_kernel, ds):
+    """Wrap a hyperparameter cotangent scalar back into the static-kernel
+    pytree (RBFKernel: single ``sigma`` leaf; the gen routes are RBF-only,
+    pinned by their route gates)."""
+    leaves, treedef = jax.tree.flatten(static_kernel)
+    assert len(leaves) == 1, type(static_kernel)
+    return jax.tree.unflatten(
+        treedef, [ds.astype(jnp.result_type(leaves[0]))])
 
 
 def _expand_pairs(x, y, gram: bool):
@@ -323,14 +351,12 @@ def _rbf_gen_bwd(gram, naive, dyadic_order, res, g):
             hi, gf, naive=naive, dyadic_order=dyadic_order, fwd_stack=stk)
     ct = ct.reshape(g.shape + ct.shape[-2:])
 
-    def inc_fn(sk_, x_, y_):
-        return df_prep._rbf_dd_f32(x_.astype(jnp.float32),
-                                   y_.astype(jnp.float32),
-                                   jnp.asarray(sk_.sigma, jnp.float32),
-                                   gram)
-
-    _, vjp = jax.vjp(inc_fn, static_kernel, x, y)
-    return vjp(ct.astype(jnp.float32))
+    ds, dx32, dy32 = _inc_chain_vjp(
+        x.astype(jnp.float32), y.astype(jnp.float32),
+        jnp.asarray(static_kernel.sigma, jnp.float32),
+        ct.astype(jnp.float32), gram)
+    return (_kernel_cotangent(static_kernel, ds),
+            dx32.astype(x.dtype), dy32.astype(y.dtype))
 
 
 _rbf_gen.defvjp(_rbf_gen_fwd, _rbf_gen_bwd)
@@ -387,12 +413,10 @@ def _rbf_gen32_bwd(gram, naive, dyadic_order, res, g):
         dyadic_order=dyadic_order, fwd_stack=stk)
     ct = ct.reshape(g.shape + ct.shape[-2:])
 
-    def inc_fn(sk_, x_, y_):
-        G = (sk_.Gram_matrix(x_, y_) if gram else sk_.batch_kernel(x_, y_))
-        return double_difference(G)
-
-    _, vjp = jax.vjp(inc_fn, static_kernel, x, y)
-    return vjp(ct.astype(jnp.float32))
+    ds, dx, dy = _inc_chain_vjp(x, y,
+                                jnp.asarray(static_kernel.sigma, x.dtype),
+                                ct.astype(jnp.float32), gram)
+    return _kernel_cotangent(static_kernel, ds), dx, dy
 
 
 _rbf_gen32.defvjp(_rbf_gen32_fwd, _rbf_gen32_bwd)

@@ -23,6 +23,18 @@ def double_difference(G: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def dd_transpose(ct: jnp.ndarray) -> jnp.ndarray:
+    """Transpose (VJP) of :func:`double_difference`.
+
+    A cotangent ``ct`` of shape ``(..., M-1, N-1)`` scatters back onto the
+    ``(..., M, N)`` grid with the same +/- stencil; zero-padding ``ct`` by
+    one on each side turns the scatter into the forward stencil itself:
+    ``dG = double_difference(pad(ct, 1))``.
+    """
+    pad = [(0, 0)] * (ct.ndim - 2) + [(1, 1), (1, 1)]
+    return double_difference(jnp.pad(ct, pad))
+
+
 def dyadic_refine(dd: jnp.ndarray, dyadic_order: int) -> jnp.ndarray:
     """Dyadic grid refinement of an increment grid.
 

@@ -148,3 +148,44 @@ def test_grad_solver_validation(rng):
     X = jnp.asarray(make_paths(rng, 2, 6, 2))
     with pytest.raises(ValueError, match="grad_solver"):
         sk.sig_kernel(sk.RBFKernel(1.0), X, X, grad_solver="bogus")
+
+
+@pytest.mark.parametrize("gram", [False, True])
+@pytest.mark.parametrize("dt", [jnp.float32, jnp.float64])
+def test_rbf_dd_vjp_matches_autodiff(rng, gram, dt):
+    """The hand-fused increment-chain VJP == jax.vjp of the naive
+    composition, at the compute dtype's own grade, for both pair layouts
+    and a non-trivial sigma (incl. the sigma cotangent)."""
+    from sigkernel_tpu.utils import dd_transpose
+
+    B, M, N, d = 3, 8, 9, 2
+    X = jnp.asarray(rng.normal(size=(B, M, d)), dt)
+    Y = jnp.asarray(rng.normal(size=(B, N, d)), dt)
+    sigma = 1.3
+    kernel = sk.RBFKernel(sigma)
+
+    def inc_fn(sk_, x_, y_):
+        G = (sk_.Gram_matrix(x_, y_) if gram else sk_.batch_kernel(x_, y_))
+        return double_difference(G)
+
+    inc, vjp = jax.vjp(inc_fn, kernel, X, Y)
+    ct = jnp.asarray(rng.normal(size=inc.shape), dt)
+    dk, dx, dy = vjp(ct)
+    ds2, dx2, dy2 = df_prep.rbf_dd_vjp(X, Y, sigma, ct, gram)
+
+    tol = 1e-5 if dt == jnp.float32 else 1e-13
+    scale = float(jnp.max(jnp.abs(dx))) + 1e-30
+    np.testing.assert_allclose(np.asarray(dx2), np.asarray(dx),
+                               atol=tol * scale)
+    np.testing.assert_allclose(np.asarray(dy2), np.asarray(dy),
+                               atol=tol * float(jnp.max(jnp.abs(dy))))
+    np.testing.assert_allclose(float(ds2), float(dk.sigma),
+                               rtol=1e-4 if dt == jnp.float32 else 1e-12)
+
+    # dd_transpose == the transpose of double_difference
+    G = jnp.asarray(rng.normal(size=(B, M, N)), dt)
+    ct3 = jnp.asarray(rng.normal(size=(B, M - 1, N - 1)), dt)
+    _, ddv = jax.vjp(double_difference, G)
+    want = np.asarray(ddv(ct3)[0])
+    np.testing.assert_allclose(np.asarray(dd_transpose(ct3)), want,
+                               atol=1e-6 * np.abs(want).max())
