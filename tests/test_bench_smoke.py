@@ -23,7 +23,13 @@ def _smoke_env(**extra):
     env.update({
         "SIGBENCH_LENGTH": "12", "SIGBENCH_DYADIC": "0",
         "SIGBENCH_PAIRS": "2", "JAX_PLATFORMS": "cpu",
-        "PYTHONPATH": REPO + os.pathsep + env.get("PYTHONPATH", ""),
+        # REPLACE the ambient PYTHONPATH, never append to it: the TPU
+        # relay registers via a sitecustomize.py on the ambient
+        # PYTHONPATH and overrides JAX_PLATFORMS=cpu after import, so an
+        # inherited path silently sends these "CPU" subprocesses to the
+        # remote TPU — minutes-long remote compiles per fresh tmp dir
+        # and deadline flakes whenever the relay is busy.
+        "PYTHONPATH": REPO,
     })
     env.update(extra)
     return env
