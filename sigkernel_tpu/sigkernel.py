@@ -240,14 +240,42 @@ def _inc_chain_vjp(x, y, sigma, ct, gram):
     return df_prep.rbf_dd_vjp(x, y, sigma, ct, gram)
 
 
+def _vma_of(x):
+    """Varying manual axes of ``x`` under ``shard_map`` tracing (empty
+    outside shard_map / on concrete arrays)."""
+    try:
+        return frozenset(getattr(jax.typeof(x), "vma", ()) or ())
+    except TypeError:  # python scalar leaf
+        return frozenset()
+
+
+def _match_vma(ct, primal):
+    """Give a hand-written bwd cotangent the primal input's varying
+    manual axes: ``psum`` away axes the primal does not vary over (the
+    transpose of broadcasting an invariant input into varying compute —
+    the cross-shard reduction is the mathematically required one) and
+    ``pcast``-vary any it does. Trace-time no-op when the types already
+    agree, so single-chip jaxprs are unchanged."""
+    cv, pv = _vma_of(ct), _vma_of(primal)
+    extra = tuple(sorted(cv - pv))
+    if extra:
+        ct = lax.psum(ct, extra)
+    missing = tuple(sorted(pv - cv))
+    if missing:
+        ct = jax.lax.pcast(ct, missing, to="varying")
+    return ct
+
+
 def _kernel_cotangent(static_kernel, ds):
     """Wrap a hyperparameter cotangent scalar back into the static-kernel
     pytree (RBFKernel: single ``sigma`` leaf; the gen routes are RBF-only,
-    pinned by their route gates)."""
+    pinned by their route gates). Under shard_map the cotangent is
+    reduced to the primal leaf's varying manual axes."""
     leaves, treedef = jax.tree.flatten(static_kernel)
     assert len(leaves) == 1, type(static_kernel)
     return jax.tree.unflatten(
-        treedef, [ds.astype(jnp.result_type(leaves[0]))])
+        treedef, [_match_vma(ds, leaves[0]).astype(
+            jnp.result_type(leaves[0]))])
 
 
 def _expand_pairs(x, y, gram: bool):
@@ -699,9 +727,44 @@ def _gram_lincomb_fwd(static_kernel, X, Y, W, sym, dyadic_order, naive,
     iic, jjc, wc, P = _lincomb_chunks(ii, jj, w, chunk)
     acc_dtype = jnp.result_type(W.dtype, X.dtype)
 
+    # Varying-manual-axes bookkeeping under shard_map with MIXED operand
+    # sharding (e.g. X/W row-sharded, Y and the kernel replicated — the
+    # sharded_sig_gram_lincomb layout): invariant primals are pre-varied
+    # (`pcast`) before the inner vjp so every per-chunk cotangent is the
+    # shard-LOCAL contribution (the naive alternative — letting jax.vjp
+    # transpose the implicit broadcast — inserts a cross-shard psum in
+    # EVERY scan step and the accumulated result double-counts when the
+    # bwd reduces again). One psum back to each primal's vma happens in
+    # the bwd, driven by the zero-token type witnesses stored in the
+    # residuals. Outside shard_map (and under uniform sharding) every
+    # expression below reduces to the round-4 code — the traced jaxpr,
+    # and therefore the compile-cache key, is unchanged.
+    prim_vmas = [_vma_of(X), _vma_of(Y), _vma_of(W)] + [
+        _vma_of(l) for l in jax.tree.leaves(static_kernel)]
+    mixed = len(set(prim_vmas)) > 1
+
     # exact zero derived from X: scan carries need X's varying manual
     # axes under shard_map (empty-slice sum is 0 with X's vma type)
     vma0 = jnp.sum(X[:0]).astype(acc_dtype)
+    toks = None
+    sk_v, X_v, Y_v = static_kernel, X, Y
+    if mixed:
+        union = frozenset().union(*prim_vmas)
+        # zero-valued type witnesses carrying each primal's vma + dtype
+        toks = (jax.tree.map(lambda l: jnp.asarray(l) * 0, static_kernel),
+                jnp.sum(X[:0]), jnp.sum(Y[:0]), jnp.sum(W[:0]))
+        # union-vma zero: the accumulator seed (replaces the X-only vma0)
+        vma0 = (vma0 + toks[1].astype(acc_dtype)
+                + toks[2].astype(acc_dtype) + toks[3].astype(acc_dtype)
+                + sum(jnp.asarray(l).astype(acc_dtype).reshape(-1)[:0].sum()
+                      for l in jax.tree.leaves(toks[0])))
+
+        def _vary_up(l):
+            miss = tuple(sorted(union - _vma_of(l)))
+            return jax.lax.pcast(l, miss, to="varying") if miss else l
+
+        sk_v = jax.tree.map(_vary_up, static_kernel)
+        X_v, Y_v = _vary_up(X), _vary_up(Y)
 
     def tree_zeros(t):
         return jax.tree.map(
@@ -719,14 +782,18 @@ def _gram_lincomb_fwd(static_kernel, X, Y, W, sym, dyadic_order, naive,
             v = sig_kernel(sk_, X_[ic], Y_[jc], **kw)
             return jnp.sum(wci * v.astype(acc_dtype)), v
 
-        s_c, vjpf, v_c = jax.vjp(chunk_loss, static_kernel, X, Y,
+        s_c, vjpf, v_c = jax.vjp(chunk_loss, sk_v, X_v, Y_v,
                                  has_aux=True)
         # cotangent 1 with s_c's exact type (incl. varying manual axes)
         dk, dX, dY = vjpf(jnp.ones((), s_c.dtype) + vma0.astype(s_c.dtype))
         return (S + s_c, gX + dX.astype(gX.dtype),
                 gY + dY.astype(gY.dtype), tree_add(gk, dk)), v_c
 
-    init = (jnp.zeros((), acc_dtype) + vma0, jnp.zeros_like(X),
+    S0 = jnp.zeros((), acc_dtype) + vma0  # traced before gX0: jaxpr
+    gX0 = jnp.zeros_like(X)               # (= cache key) must match the
+    if mixed:  # zeros_like is invariant; the carry must match dX's vma
+        gX0 = gX0 + vma0.astype(X.dtype)  # pre-vma-fix op order exactly
+    init = (S0, gX0,
             jnp.zeros_like(Y) + vma0.astype(Y.dtype),
             tree_zeros(static_kernel))
     (S, gX, gY, gk), Kv = lax.scan(body, init, (iic, jjc, wc))
@@ -739,11 +806,23 @@ def _gram_lincomb_fwd(static_kernel, X, Y, W, sym, dyadic_order, naive,
         K = K + K.T - jnp.diag(jnp.diag(K))
     else:
         K = vals.reshape(W.shape)
+    if mixed:
+        return S, (gX, gY, gk, K.astype(W.dtype), toks)
     return S, (gX, gY, gk, K.astype(W.dtype))
 
 
 def _gram_lincomb_bwd(sym, dyadic_order, naive, solver, grad_solver, chunk,
                       res, g):
+    if len(res) == 5:  # mixed-vma shard_map trace (see fwd): the
+        # accumulators hold shard-LOCAL sums with union vma; one psum
+        # per output reduces each to its primal's vma — the correct
+        # cross-shard cotangent reduction for replicated operands.
+        gX, gY, gk, K, (k_toks, x_tok, y_tok, w_tok) = res
+        dk = jax.tree.map(
+            lambda l, t: _match_vma(g * l, t).astype(t.dtype), gk, k_toks)
+        return (dk, _match_vma(g * gX, x_tok).astype(x_tok.dtype),
+                _match_vma(g * gY, y_tok).astype(y_tok.dtype),
+                _match_vma(g * K, w_tok).astype(w_tok.dtype))
     gX, gY, gk, K = res
     scale = lambda t: jax.tree.map(lambda l: (g * l).astype(l.dtype), t)
     return (scale(gk), (g * gX).astype(gX.dtype), (g * gY).astype(gY.dtype),

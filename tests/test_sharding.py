@@ -143,3 +143,34 @@ def test_sharded_lincomb_matches_single_device(rng, mesh):
         k, x, Y, W, mesh, dyadic_order=1, pair_chunk=4))(X)
     np.testing.assert_allclose(np.asarray(gg), np.asarray(gw), rtol=1e-9,
                                atol=1e-12)
+
+
+def test_sharded_lincomb_jit_all_grads_match(rng, mesh):
+    """Jitted grad of the row-sharded lincomb w.r.t. EVERY operand ==
+    single-device. Pins the mixed varying-manual-axes custom_vjp typing
+    (X/W sharded, Y and the kernel hyperparameter replicated): the bwd
+    must psum replicated-operand cotangents across shards exactly once
+    (no per-scan-step collective, no double count), and the sigma
+    cotangent must come back with the primal's (invariant) vma."""
+    import sigkernel_tpu as sk
+    from sigkernel_tpu.parallel import sharded_sig_gram_lincomb
+    from sigkernel_tpu.sigkernel import sig_gram_lincomb
+
+    X = jnp.asarray(make_paths(rng, 8, 6, 2, scale=0.5))
+    Y = jnp.asarray(make_paths(rng, 5, 7, 2, scale=0.5))
+    W = jnp.asarray(rng.normal(size=(8, 5)))
+
+    def sharded(sig, x, y, w):
+        return sharded_sig_gram_lincomb(sk.RBFKernel(sig), x, y, w, mesh,
+                                        dyadic_order=1, pair_chunk=4)
+
+    def local(sig, x, y, w):
+        return sig_gram_lincomb(sk.RBFKernel(sig), x, y, w,
+                                dyadic_order=1, pair_chunk=4)
+
+    sig = jnp.asarray(0.9)
+    gs = jax.jit(jax.grad(sharded, argnums=(0, 1, 2, 3)))(sig, X, Y, W)
+    gl = jax.jit(jax.grad(local, argnums=(0, 1, 2, 3)))(sig, X, Y, W)
+    for name, a, b in zip(("dsigma", "dX", "dY", "dW"), gs, gl):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-9, atol=1e-12, err_msg=name)
